@@ -1,0 +1,94 @@
+"""On-device per-actuator replay buffer.
+
+The reference interleaves every actuator's (s, a, r, t) as independent rows of
+one `CircularArraySARTTrajectory` and resolves the next state as the entry
+`n_actuators` slots ahead (src/PDEagent.jl:254-340). Its dummy terminal
+state/action pairs (pushed PostEpisode, popped next PreEpisode,
+PDEagent.jl:237-252,291-314) exist only so that slot arithmetic stays valid
+across episode boundaries; every transition with a cross-episode "next state"
+has terminal=true, so the bootstrap term is masked anyway.
+
+Here we store the next state explicitly (SARTS'), which is provably the same
+effective transition set:
+  * the state pushed at PreAct of step k+1 equals the featurized state after
+    step k — exactly what `state[idx + n_actuators]` dereferences;
+  * terminal rows mask the bootstrap identically;
+  * the reference samples logical indices 1..len-n_actuators, i.e. it
+    excludes the newest `n_actuators` rows — kept via `exclude_newest`.
+
+Everything is a fixed-shape pytree so pushes (dynamic scatter) and samples
+(gather) run inside jitted scans with zero host traffic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Replay:
+    s: jnp.ndarray  # (capacity, ns)
+    a: jnp.ndarray  # (capacity, na)
+    r: jnp.ndarray  # (capacity,)
+    t: jnp.ndarray  # (capacity,) f32 0/1
+    sn: jnp.ndarray  # (capacity, ns)
+    ptr: jnp.ndarray  # int32 next write slot
+    size: jnp.ndarray  # int32 valid entries
+
+
+def replay_init(capacity: int, ns: int, na: int) -> Replay:
+    return Replay(
+        s=jnp.zeros((capacity, ns), jnp.float32),
+        a=jnp.zeros((capacity, na), jnp.float32),
+        r=jnp.zeros((capacity,), jnp.float32),
+        t=jnp.zeros((capacity,), jnp.float32),
+        sn=jnp.zeros((capacity, ns), jnp.float32),
+        ptr=jnp.asarray(0, jnp.int32),
+        size=jnp.asarray(0, jnp.int32),
+    )
+
+
+def replay_push_columns(rb: Replay, s_cols, a_cols, r_vec, terminal, sn_cols) -> Replay:
+    """Push one env step's per-actuator transitions.
+
+    s_cols/a_cols/sn_cols: (dim, n_cols) column matrices (actuator = column,
+    as in the PreAct/PostAct pushes at PDEagent.jl:254-289); r_vec: (n_cols,)
+    — or (1,) in mono mode; terminal: scalar bool shared by all columns.
+    """
+    n = r_vec.shape[0]
+    capacity = rb.s.shape[0]
+    idx = (rb.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
+    t_vec = jnp.full((n,), terminal, jnp.float32)
+    return rb.replace(
+        s=rb.s.at[idx].set(s_cols.T),
+        a=rb.a.at[idx].set(a_cols.T),
+        r=rb.r.at[idx].set(r_vec),
+        t=rb.t.at[idx].set(t_vec),
+        sn=rb.sn.at[idx].set(sn_cols.T),
+        ptr=(rb.ptr + n) % capacity,
+        size=jnp.minimum(rb.size + n, capacity),
+    )
+
+
+def replay_sample(rb: Replay, key, batch_size: int, exclude_newest: int):
+    """Uniform sample of `batch_size` transitions as column matrices.
+
+    Logical index o in [0, size - exclude_newest) maps to physical slot
+    (start + o) % capacity where start is the oldest entry — the same
+    distribution as `pde_sample`'s `rand(1:length(t)-number_actuators)`
+    (PDEagent.jl:317-321).
+    """
+    capacity = rb.s.shape[0]
+    n_valid = jnp.maximum(rb.size - exclude_newest, 1)
+    offs = jax.random.randint(key, (batch_size,), 0, n_valid)
+    start = jnp.where(rb.size >= capacity, rb.ptr, 0)
+    idx = (start + offs) % capacity
+    return (
+        rb.s[idx].T,  # (ns, B)
+        rb.a[idx].T,  # (na, B)
+        rb.r[idx],  # (B,)
+        rb.t[idx],  # (B,)
+        rb.sn[idx].T,  # (ns, B)
+    )

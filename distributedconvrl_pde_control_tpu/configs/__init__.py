@@ -1,0 +1,30 @@
+"""Experiment presets replicating every shipped reference script's constants.
+
+The reference configures experiments through Julia globals set in entry
+scripts and consumed lexically by included setup files (SURVEY.md §5.6);
+here each preset is an explicit dataclass -> `Setup` builder.
+"""
+
+from distributedconvrl_pde_control_tpu.configs.ks import (
+    KSConfig,
+    build_ks,
+    KS22,
+    KS200,
+    KS500,
+    KS200_DISTURBED,
+    KS22_GLOBAL,
+    build_ks_global,
+)
+from distributedconvrl_pde_control_tpu.configs.fluid import FluidConfig, build_fluid, FLUID_8, FLUID_16, FLUID_32
+from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+    KellerSegelConfig,
+    build_keller_segel,
+    KELLER_SEGEL_10_16,
+)
+
+__all__ = [
+    "KSConfig", "build_ks", "KS22", "KS200", "KS500", "KS200_DISTURBED",
+    "KS22_GLOBAL", "build_ks_global",
+    "FluidConfig", "build_fluid", "FLUID_8", "FLUID_16", "FLUID_32",
+    "KellerSegelConfig", "build_keller_segel", "KELLER_SEGEL_10_16",
+]

@@ -1,0 +1,209 @@
+"""2D Navier–Stokes vorticity-control presets (scripts/Fluid/*).
+
+The env state is the *spectral* vorticity (complex); featurize/reward work on
+the real-space field after an inverse FFT, and prepare_action returns the
+spectral forcing (FluidSetup.jl:188-261).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGConfig
+from distributedconvrl_pde_control_tpu.envs.features import Conv2DFeaturizer, taylor_kernels_2d
+from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
+from distributedconvrl_pde_control_tpu.ops.navier_stokes import NSSolver, initial_condition
+from distributedconvrl_pde_control_tpu.train.drivers import Setup
+
+
+@dataclasses.dataclass(frozen=True)
+class FluidConfig:
+    """Constants of a fluid experiment (Fluid_8/16/32 scripts + FluidSetup.jl)."""
+
+    name: str = "Fluid_8"
+    seed: int = 531
+    sensors_per_axis: int = 8
+    variance: float = 0.08
+    evaluation: bool = False  # eval: nx=256, seed=76 (FluidSetup.jl:33-36)
+    nx: int = 128
+    lx: float = 1.0
+    nu: float = 5e-5
+    dealias: bool = True
+    # env (FluidSetup.jl:44-57)
+    te: float = 6.0
+    t0: float = 0.0
+    dt: float = 0.02
+    max_value: float = 3.0
+    check_max_value: str = "reward"
+    # featurization (FluidSetup.jl:65-77, 188-261)
+    window_size: int = 3
+    temporal_steps: int = 1
+    memory_size: int = 0
+    agent_power: float = 70.0
+    action_punish: float = 0.002
+    delta_action_punish: float = 0.002
+    sensor_scale: float = 1.0 / 70.0
+    reward_norm: float = 320.0
+    reward_pow: float = 1.1
+    # agent (FluidSetup.jl:79-95)
+    nna_scale: float = 1.8
+    nna_scale_critic: float = 17.0
+    drop_middle_layer: bool = True
+    gamma: float = 0.99
+    polyak: float = 0.995
+    batch_size: int = 3
+    start_steps: int = 10
+    update_after: int = 10
+    update_freq: int = 1
+    update_loops: int = 20
+    learning_rate: float = 5e-4
+    learning_rate_critic: float = 1e-3
+    act_limit: float = 1.0
+    act_noise: float = 1.2
+    capacity: int = 1_800_000
+    # training protocol (FluidSetup.jl:541-556, Fluid_8.jl:27)
+    loops: int = 10
+    no_steps: int = 580
+    noise_decay: float = 0.6
+    min_best_episode: int = 1
+
+    @property
+    def grid_nx(self) -> int:
+        return 256 if self.evaluation else self.nx
+
+    @property
+    def grid_seed(self) -> int:
+        return 76 if self.evaluation else self.seed
+
+    @property
+    def oversampling(self) -> int:
+        # oversampling = floor(16 * nx * dt) (FluidSetup.jl:47)
+        return int(np.floor(16 * self.grid_nx * self.dt))
+
+    @property
+    def positions(self):
+        """Sensor/actuator lattice (FluidSetup.jl:61-63), 1-based (i, j)."""
+        n = self.grid_nx
+        step = n // self.sensors_per_axis
+        return [(i, j) for i in range(1, n + 1, step) for j in range(1, n + 1, step)]
+
+
+FLUID_8 = FluidConfig(name="Fluid_8", seed=531, sensors_per_axis=8, variance=0.08)
+FLUID_16 = FluidConfig(name="Fluid_16", seed=436, sensors_per_axis=16, variance=0.04)
+FLUID_32 = FluidConfig(name="Fluid_32", seed=886, sensors_per_axis=32, variance=0.022)
+
+
+def fluid_error_detection(y_hat: np.ndarray) -> bool:
+    """Corrupted-field detector: neighbor jumps > 10 in real space
+    (FluidSetup.jl:263-273)."""
+    y = np.fft.ifft2(y_hat).real
+    return bool(
+        np.abs(np.roll(y, 1, 0) - y).max() > 10.0 or np.abs(np.roll(y, 1, 1) - y).max() > 10.0
+    )
+
+
+def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
+    n = cfg.grid_nx
+    solver = NSSolver(nx=n, ny=n, lx=cfg.lx, ly=cfg.lx, nu=cfg.nu, dealias=cfg.dealias)
+    n_act = cfg.sensors_per_axis**2
+    positions = cfg.positions
+    sensors = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=1)
+    actuators = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=2)
+    sensor_matrix = jnp.asarray(sensors.reshape(n_act, -1), jnp.float32)
+    actuator_stack = jnp.asarray(actuators.reshape(n_act, -1), jnp.float32)
+    a2s = np.arange(n_act)
+
+    featurizer = Conv2DFeaturizer(
+        sensor_matrix=sensor_matrix,
+        actuators_to_sensors=a2s,
+        sensors_per_axis=cfg.sensors_per_axis,
+        scale=cfg.sensor_scale,
+        window_size=cfg.window_size,
+        temporal_steps=cfg.temporal_steps,
+        memory_size=cfg.memory_size,
+    )
+
+    def reward_fn(y_hat, action, delta_action):
+        """FluidSetup.jl:188-202."""
+        y = jnp.fft.ifft2(y_hat).real.reshape(-1)
+        dots = jnp.abs(sensor_matrix @ y) ** cfg.reward_pow / cfg.reward_norm
+        return (
+            -jnp.abs(dots)
+            - cfg.action_punish * action[0] ** 2
+            - cfg.delta_action_punish * delta_action[0] ** 2
+        )
+
+    def prepare_action(action):
+        """FluidSetup.jl:247-261: spectral forcing fft(sum_i 70*a_i*g_i)."""
+        p = cfg.agent_power * (action[0] @ actuator_stack)
+        return jnp.fft.fft2(p.reshape(n, n))
+
+    def step_fn(y_hat, forcing_hat):
+        return solver.step(y_hat, forcing_hat, cfg.dt, cfg.oversampling)
+
+    rng0 = np.random.default_rng(cfg.grid_seed)
+    y0 = initial_condition(4, n, n, cfg.lx, cfg.lx, rng0).astype(np.complex64)
+
+    env = PDEEnv(
+        step_fn=step_fn,
+        featurize=featurizer,
+        prepare_action=prepare_action,
+        reward_fn=reward_fn,
+        y0=y0,
+        action_shape=(1 + cfg.memory_size, n_act),
+        n_rewards=n_act,
+        te=cfg.te,
+        t0=cfg.t0,
+        dt=cfg.dt,
+        max_value=cfg.max_value,
+        check_max_value=cfg.check_max_value,
+    )
+
+    agent = DDPGAgent(DDPGConfig(
+        ns=featurizer.obs_dim,
+        na_rows=1 + cfg.memory_size,
+        n_actuators=n_act,
+        gamma=cfg.gamma,
+        polyak=cfg.polyak,
+        batch_size=cfg.batch_size,
+        start_steps=cfg.start_steps,
+        update_after=cfg.update_after,
+        update_freq=cfg.update_freq,
+        update_loops=cfg.update_loops,
+        act_limit=cfg.act_limit,
+        act_noise=cfg.act_noise,
+        memory_size=cfg.memory_size,
+        nna_scale=cfg.nna_scale,
+        nna_scale_critic=cfg.nna_scale_critic,
+        drop_middle_layer=cfg.drop_middle_layer,
+        learning_rate=cfg.learning_rate,
+        learning_rate_critic=cfg.learning_rate_critic,
+        capacity=cfg.capacity,
+    ))
+
+    def random_init(key):
+        """generate_random_init (FluidSetup.jl:386-394): random-vortex IC,
+        case 3 in training / case 4 in evaluation."""
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        case = 4 if cfg.evaluation else 3
+        return jnp.asarray(initial_condition(case, n, n, cfg.lx, cfg.lx, rng), jnp.complex64)
+
+    return Setup(
+        name=cfg.name,
+        env=env,
+        agent=agent,
+        seed=cfg.seed,
+        random_init=random_init,
+        loops=cfg.loops,
+        no_steps=cfg.no_steps,
+        noise_decay=cfg.noise_decay,
+        min_best_episode=cfg.min_best_episode,
+        record=False,  # collect_bestDF=false for fluid (FluidSetup.jl:373-377)
+        error_detection=fluid_error_detection,
+        reward_clamp=-3000.0,
+    )

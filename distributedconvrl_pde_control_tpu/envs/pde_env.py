@@ -1,0 +1,121 @@
+"""Functional PDE-control environment.
+
+Rebuild of `src/PDEenv.jl` as a pytree state + pure step, so the whole
+rollout can live inside one jitted/`lax.scan` program:
+
+  * `EnvState` mirrors PDEenv's mutable fields (y, state/obs, action,
+    delta_action, p, steps, time, reward, done; PDEenv.jl:26-62);
+  * `PDEEnv.step` reproduces the step operator (PDEenv.jl:195-241):
+    delta_action, prepare_action, solver step, reward, featurize, time
+    advance, and early termination on blow-up (`check_max_value` in
+    {"y", "reward", "none"}) — expressed as masks, not host branches;
+  * `PDEEnv.reset` reproduces RLBase.reset! (PDEenv.jl:183-193) with an
+    optional override y0 (the hook's per-episode random init,
+    PDEhook.jl:42-49).
+
+Termination semantics note: the reference ALSO ends the episode when
+`time >= te`; both conditions fold into the `done` flag so downstream code
+(replay pushes, learning gates) can mask on it inside scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EnvState:
+    """Pytree snapshot of the environment (PDEenv.jl:26-62)."""
+
+    y: jnp.ndarray  # PDE field (real 1D/2-field, or complex spectral for fluid)
+    obs: jnp.ndarray  # featurized state matrix (obs_dim, n_actuators)
+    action: jnp.ndarray  # last action matrix (action_rows, n_actuators)
+    delta_action: jnp.ndarray
+    forcing: jnp.ndarray  # env.p — prepared forcing for the solver
+    steps: jnp.ndarray  # int32 scalar
+    time: jnp.ndarray  # f32 scalar
+    reward: jnp.ndarray  # per-actuator rewards (n_rewards,)
+    done: jnp.ndarray  # bool scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class PDEEnv:
+    """One PDE control environment: dynamics + featurization + reward.
+
+    All callables are pure:
+      step_fn(y, forcing) -> y'                (the L1 solver hot loop)
+      featurize(y, prev_obs, action) -> obs    (None args at reset)
+      prepare_action(action) -> forcing        (action smearing)
+      reward_fn(y, action, delta_action) -> rewards
+    """
+
+    step_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    featurize: Callable[..., jnp.ndarray]
+    prepare_action: Callable[[jnp.ndarray], jnp.ndarray]
+    reward_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    y0: Any
+    action_shape: tuple  # (action_rows, n_actuators)
+    n_rewards: int
+    te: float = 2.0
+    t0: float = 0.0
+    dt: float = 0.005
+    max_value: float = 20.0
+    check_max_value: str = "y"  # "y" | "reward" | "none" (PDEenv.jl:226-240)
+
+    @property
+    def max_steps(self) -> int:
+        """Episode length cap: steps until time >= te."""
+        import math
+
+        return int(math.ceil((self.te - self.t0) / self.dt - 1e-9))
+
+    def reset(self, y0: Optional[jnp.ndarray] = None) -> EnvState:
+        y = jnp.asarray(self.y0 if y0 is None else y0)
+        action0 = jnp.zeros(self.action_shape, jnp.float32)
+        obs = self.featurize(y, None, None)
+        return EnvState(
+            y=y,
+            obs=obs,
+            action=action0,
+            delta_action=jnp.zeros_like(action0),
+            forcing=self.prepare_action(action0),
+            steps=jnp.asarray(0, jnp.int32),
+            time=jnp.asarray(self.t0, jnp.float32),
+            reward=jnp.zeros((self.n_rewards,), jnp.float32),
+            done=jnp.asarray(False, bool),
+        )
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        """Pure step operator (PDEenv.jl:195-241)."""
+        delta_action = action - state.action
+        forcing = self.prepare_action(action)
+        y = self.step_fn(state.y, forcing)
+        reward = self.reward_fn(y, action, delta_action)
+        obs = self.featurize(y, state.obs, action)
+        time = state.time + jnp.asarray(self.dt, jnp.float32)
+        done = time >= self.te - 1e-6
+        if self.check_max_value == "y":
+            blowup = jnp.max(jnp.abs(y)) > self.max_value
+            done = jnp.logical_or(done, blowup)
+        elif self.check_max_value == "reward":
+            blowup = jnp.max(jnp.abs(reward)) > self.max_value
+            done = jnp.logical_or(done, blowup)
+        # non-finite fields always terminate (jit-safe NaN guard; the
+        # reference reaches the same outcome through max() comparisons)
+        finite = jnp.all(jnp.isfinite(jnp.abs(y.reshape(-1)))) & jnp.all(jnp.isfinite(reward))
+        done = jnp.logical_or(done, jnp.logical_not(finite))
+        return EnvState(
+            y=y,
+            obs=obs,
+            action=action,
+            delta_action=delta_action,
+            forcing=forcing,
+            steps=state.steps + 1,
+            time=time,
+            reward=reward,
+            done=done,
+        )

@@ -1,0 +1,181 @@
+"""2D incompressible Navier–Stokes vorticity-transport solver (pseudo-spectral).
+
+Re-derivation of the reference's `src/fluid_rk4.jl`: the state is the spectral
+vorticity omega_hat on a periodic [0,Lx]x[0,Ly] box; RK4 in time
+(fluid_rk4.jl:122-132); the advection term is computed by solving for the
+streamfunction and forming -u*dw/dx - v*dw/dy by collocation, optionally with
+3/2-rule zero-padding de-aliasing (fluid_rk4.jl:145-190).
+
+TPU-native notes: all FFTs are XLA batched 2D FFTs; the RK4 substep loop is a
+`lax.scan`; the de-aliased path does 4 padded inverse FFTs + 1 padded forward
+FFT per RHS evaluation, all at static (3/2 nx) shapes so XLA tiles them once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distributedconvrl_pde_control_tpu.ops.spectral import (
+    chop_32,
+    fft_wavenumbers,
+    pad_32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NSSolver:
+    """Precomputed wavenumber arrays for one (nx, ny, Lx, Ly, nu) config.
+
+    Mirrors the module-level grid setup at FluidSetup.jl:106-124.
+    `dealias=True` is the reference's `ifpad=1` (FluidSetup.jl:101).
+    """
+
+    nx: int
+    ny: int
+    lx: float = 1.0
+    ly: float = 1.0
+    nu: float = 5e-5
+    dealias: bool = True
+
+    kx_row: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    ky_col: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    k2: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    inv_k2: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+
+    def __post_init__(self):
+        kx = fft_wavenumbers(self.nx, self.lx)
+        ky = fft_wavenumbers(self.ny, self.ly)
+        # kx varies along columns (axis 1), ky along rows (axis 0), matching
+        # kx_repeat / ky_repeat at FluidSetup.jl:117-118.
+        kx_row = np.broadcast_to(kx[None, :], (self.ny, self.nx))
+        ky_col = np.broadcast_to(ky[:, None], (self.ny, self.nx))
+        k2 = ky_col**2 + kx_row**2  # FluidSetup.jl:116
+        inv_k2 = np.empty_like(k2)
+        inv_k2[:] = 1.0 / np.where(k2 == 0.0, 1.0, k2)
+        inv_k2[0, 0] = 0.0  # psihat[1,1] = 0 (fluid_rk4.jl:153)
+        object.__setattr__(self, "kx_row", jnp.asarray(kx_row, dtype=jnp.float32))
+        object.__setattr__(self, "ky_col", jnp.asarray(ky_col, dtype=jnp.float32))
+        object.__setattr__(self, "k2", jnp.asarray(k2, dtype=jnp.float32))
+        object.__setattr__(self, "inv_k2", jnp.asarray(inv_k2, dtype=jnp.float32))
+
+    # ---------------------------------------------------------------- rhs
+    def advection(self, omghat: jnp.ndarray) -> jnp.ndarray:
+        """Nonlinear advection term in wavespace (fluid_rk4.jl:145-190)."""
+        psihat = omghat * self.inv_k2
+        domgdx = 1j * omghat * self.kx_row
+        domgdy = 1j * omghat * self.ky_col
+        vhat = -1j * psihat * self.kx_row
+        uhat = 1j * psihat * self.ky_col
+
+        if self.dealias:
+            nxp, nyp = 3 * self.nx // 2, 3 * self.ny // 2
+            up = jnp.fft.ifft2(pad_32(uhat, nyp, nxp)).real
+            vp = jnp.fft.ifft2(pad_32(vhat, nyp, nxp)).real
+            dwdxp = jnp.fft.ifft2(pad_32(domgdx, nyp, nxp)).real
+            dwdyp = jnp.fft.ifft2(pad_32(domgdy, nyp, nxp)).real
+            temp = jnp.fft.fft2(-up * dwdxp - vp * dwdyp)
+            # * 1.5 * 1.5 rescales the padded-grid FFT normalization
+            # (fluid_rk4.jl:176)
+            return chop_32(temp, self.ny, self.nx) * 2.25
+        u = jnp.fft.ifft2(uhat).real
+        v = jnp.fft.ifft2(vhat).real
+        dwdx = jnp.fft.ifft2(domgdx).real
+        dwdy = jnp.fft.ifft2(domgdy).real
+        return jnp.fft.fft2(-u * dwdx - v * dwdy)
+
+    def rhs(self, omghat: jnp.ndarray, forcing_hat: jnp.ndarray) -> jnp.ndarray:
+        """d(omega_hat)/dt = -nu*k^2*omega_hat + advection + forcing
+        (fluid_rk4.jl:134-143)."""
+        return -self.nu * (self.k2 * omghat) + self.advection(omghat) + forcing_hat
+
+    def rk4_substep(self, omghat, forcing_hat, dt):
+        """Classic RK4 (fluid_rk4.jl:122-132)."""
+        k1 = self.rhs(omghat, forcing_hat)
+        k2 = self.rhs(omghat + 0.5 * dt * k1, forcing_hat)
+        k3 = self.rhs(omghat + 0.5 * dt * k2, forcing_hat)
+        k4 = self.rhs(omghat + dt * k3, forcing_hat)
+        return omghat + dt / 6.0 * (k1 + 2.0 * (k2 + k3) + k4)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def step(self, omghat, forcing_hat, dt, oversampling: int):
+        """One env step = `oversampling` RK4 substeps at dt/oversampling,
+        the reference's fixed-step `do_step` (FluidSetup.jl:163-172)."""
+        dt_os = dt / oversampling
+
+        def sub(w, _):
+            return self.rk4_substep(w, forcing_hat, dt_os), None
+
+        w, _ = jax.lax.scan(sub, omghat, None, length=oversampling)
+        return w
+
+    # ------------------------------------------------------------ diagnostics
+    def omg2vel(self, omghat):
+        """(u, v, omega, psi) in real space from spectral vorticity
+        (fluid_rk4.jl:20-52)."""
+        psihat = omghat * self.inv_k2
+        # NB fluid_rk4.jl:35 divides by k^2 (no zero guard beyond [1,1]); the
+        # inv_k2 table encodes the same convention.
+        uhat = 1j * self.ky_col * psihat
+        vhat = -1j * self.kx_row * psihat
+        omg = jnp.fft.ifft2(omghat).real
+        psi = jnp.fft.ifft2(psihat).real
+        u = jnp.fft.ifft2(uhat).real
+        v = jnp.fft.ifft2(vhat).real
+        return u, v, omg, psi
+
+
+# --------------------------------------------------------------- initial data
+def meshgrid_xy(nx, ny, lx, ly):
+    """Collocation grid (xx[r,c] = x[c], yy[r,c] = y[r]), matching
+    fluid_rk4.jl:10-15 + FluidSetup.jl:127-133 (endpoint dropped)."""
+    x = np.linspace(0.0, lx, nx + 1)[:nx]
+    y = np.linspace(0.0, ly, ny + 1)[:ny]
+    xx = np.broadcast_to(x[None, :], (ny, nx))
+    yy = np.broadcast_to(y[:, None], (ny, nx))
+    return xx, yy
+
+
+def taylor_vortex(xx, yy, x0, y0, a0, u_max, lx, ly):
+    """Taylor-vortex vorticity bump with 3x3 periodic images, in real space
+    (fluid_rk4.jl:54-69 computes the same then ffts it)."""
+    omg = np.zeros_like(xx)
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            r2 = (xx - x0 - i * lx) ** 2 + (yy - y0 - j * ly) ** 2
+            omg = omg + u_max / a0 * (2.0 - r2 / a0**2) * np.exp(0.5 * (1.0 - r2 / a0**2))
+    return omg
+
+
+def taylorvtx_hat(xx, yy, x0, y0, a0, u_max, lx, ly):
+    """Spectral Taylor vortex, matching fluid_rk4.jl:54-69."""
+    return np.fft.fft2(taylor_vortex(xx, yy, x0, y0, a0, u_max, lx, ly))
+
+
+def initial_condition(caseno: int, nx, ny, lx, ly, rng: np.random.Generator):
+    """Initial spectral vorticity fields, cases 1-4 of fluid_rk4.jl:72-120.
+
+    1: one Taylor vortex; 2: two co-rotating; 3: 30 random vortices;
+    4: 50 random vortices with randomized radii.
+    """
+    xx, yy = meshgrid_xy(nx, ny, lx, ly)
+    if caseno == 1:
+        return taylorvtx_hat(xx, yy, lx / 2, ly / 2, lx / 8, 1.0, lx, ly)
+    if caseno == 2:
+        w = taylorvtx_hat(xx, yy, lx / 2, 0.4 * ly, lx / 10.0, 1.0, lx, ly)
+        return w + taylorvtx_hat(xx, yy, lx / 2, 0.6 * ly, lx / 10.0, 1.0, lx, ly)
+    if caseno in (3, 4):
+        nv = 30 if caseno == 3 else 50
+        omg = np.zeros((ny, nx))
+        for _ in range(nv):
+            x0 = rng.uniform(0, lx)
+            y0 = rng.uniform(0, ly)
+            a0 = lx / 20.0 if caseno == 3 else lx / 20.0 * (0.5 + rng.uniform())
+            umax = rng.uniform(-1.0, 1.0)
+            omg = omg + taylor_vortex(xx, yy, x0, y0, a0, umax, lx, ly)
+        return np.fft.fft2(omg)
+    raise ValueError(f"unknown IC case {caseno}")

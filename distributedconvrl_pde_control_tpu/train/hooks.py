@@ -1,0 +1,98 @@
+"""Experiment hook: the observability system.
+
+Host-side rebuild of `src/PDEhook.jl`: per-episode mean-reward accumulation
+(:52), best-episode tracking with full-length + min-episode gating (:66-76),
+best-actor parameter snapshot (:69), per-step trajectory capture (:54-62),
+divergence flagging via pluggable error detection (:78-82), optional full
+history (:84-87), and an ASCII reward curve on demand (:100-102).
+
+The jitted episode runner returns everything as arrays (EpisodeResult); the
+hook consumes them once per episode — the only host<->device traffic in the
+training loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class PDEHook:
+    min_best_episode: int = 0
+    collect_nna: bool = True
+    collect_best_trace: bool = True
+    collect_history: bool = False
+    error_detection: Optional[Callable[[np.ndarray], bool]] = None
+
+    rewards: List[float] = dataclasses.field(default_factory=list)
+    rewards_compare: List[float] = dataclasses.field(default_factory=list)
+    bestreward: float = -1_000_000.0
+    bestepisode: int = 0
+    best_actor: Any = None
+    best_trace: Any = None
+    current_actor: Any = None
+    history: List[Any] = dataclasses.field(default_factory=list)
+    errored_episodes: List[int] = dataclasses.field(default_factory=list)
+    ep: int = 1
+
+    def on_episode(self, result, agent_state) -> None:
+        """PostEpisode stage (PDEhook.jl:65-97)."""
+        reward = float(result.reward_sum)
+        completed = bool(result.completed)
+        trace = None
+        if self.collect_best_trace or self.collect_history:
+            trace = {
+                "y": np.asarray(result.y_trace),
+                "action": np.asarray(result.action_trace),
+                "forcing": np.asarray(result.forcing_trace),
+                "reward": np.asarray(result.reward_trace),
+                "steps": int(result.steps),
+            }
+
+        if completed and self.ep >= self.min_best_episode:
+            self.rewards_compare.append(reward)
+            if self.collect_nna and reward >= max(self.rewards_compare):
+                self.best_actor = jax.tree.map(np.asarray, agent_state.actor)
+                self.bestreward = reward
+                self.bestepisode = self.ep
+                if self.collect_best_trace:
+                    self.best_trace = trace
+
+        if not completed and self.error_detection is not None:
+            y_final = np.asarray(result.y_trace)[int(result.steps) - 1] if trace else None
+            if y_final is not None and self.error_detection(y_final):
+                self.errored_episodes.append(self.ep)
+
+        if self.collect_history:
+            self.history.append(trace)
+
+        self.ep += 1
+        self.rewards.append(reward)
+        if self.collect_nna:
+            self.current_actor = agent_state.actor  # stays on device
+
+    def clamp_rewards(self, lo: float, hi: float) -> None:
+        """The post-loop clamp (KSSetup.jl:317)."""
+        self.rewards = [min(max(r, lo), hi) for r in self.rewards]
+
+    def ascii_curve(self, width: int = 70, height: int = 12) -> str:
+        """Terminal reward curve, the UnicodePlots lineplot stand-in
+        (PDEhook.jl:100-102)."""
+        if not self.rewards:
+            return "(no episodes)"
+        r = np.asarray(self.rewards, dtype=np.float64)
+        xs = np.linspace(0, len(r) - 1, min(width, len(r))).astype(int)
+        vals = r[xs]
+        lo, hi = vals.min(), vals.max()
+        span = hi - lo if hi > lo else 1.0
+        rows = []
+        levels = np.floor((vals - lo) / span * (height - 1)).astype(int)
+        for row in range(height - 1, -1, -1):
+            line = "".join("*" if lv == row else " " for lv in levels)
+            rows.append(line)
+        rows.append(f"episodes 1..{len(r)}  reward [{lo:.3f}, {hi:.3f}]  best {self.bestreward:.3f}")
+        return "\n".join(rows)

