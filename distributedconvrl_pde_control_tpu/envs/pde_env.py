@@ -96,8 +96,13 @@ class PDEEnv:
         y = self.step_fn(state.y, forcing)
         reward = self.reward_fn(y, action, delta_action)
         obs = self.featurize(y, state.obs, action)
-        time = state.time + jnp.asarray(self.dt, jnp.float32)
-        done = time >= self.te - 1e-6
+        steps = state.steps + 1
+        # time = t0 + steps*dt (not accumulated) so the te comparison is
+        # exact under f32 — 50 additions of f32(0.1) drift below 5.0
+        time = jnp.asarray(self.t0, jnp.float32) + steps.astype(jnp.float32) * jnp.asarray(
+            self.dt, jnp.float32
+        )
+        done = time >= self.te * (1.0 - 1e-6)
         if self.check_max_value == "y":
             blowup = jnp.max(jnp.abs(y)) > self.max_value
             done = jnp.logical_or(done, blowup)
@@ -114,7 +119,7 @@ class PDEEnv:
             action=action,
             delta_action=delta_action,
             forcing=forcing,
-            steps=state.steps + 1,
+            steps=steps,
             time=time,
             reward=reward,
             done=done,

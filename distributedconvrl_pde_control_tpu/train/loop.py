@@ -148,7 +148,7 @@ def make_episode_fn(env: PDEEnv, agent: DDPGAgent, learning: bool = True, record
         result = EpisodeResult(
             reward_sum=jnp.sum(outs["reward_mean"]),
             steps=steps,
-            completed=estate.time >= env.te - 1e-6,
+            completed=estate.time >= env.te * (1.0 - 1e-6),
             step_rewards=outs["reward_mean"],
             actor_loss=astate.actor_loss,
             critic_loss=astate.critic_loss,
