@@ -1,0 +1,68 @@
+"""Benchmark: batched KS rollout+train throughput on one chip.
+
+Measures the fused training configuration (BASELINE.json config "Batched 1D
+KS: 256 vmapped envs, fused on-device rollout + gradient update"): per env
+step this runs the full KS22 physics (30 CNAB2 substeps = 60 FFTs per env),
+the shared-policy forward over all 256*8 actuator columns, exploration
+noise, 2048 replay pushes, and one DDPG gradient update (batch 256) — all
+inside a single jitted scan.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its north-star
+target is ">= 50x per-chip batched-env throughput vs the Julia reference".
+Profiling-scale estimates put the single-env Julia loop at O(600) env
+steps/s (30 in-place 192-point FFT pairs + 20 Zygote updates per step), so
+`vs_baseline` is reported against 50 * 600 = 30_000 env steps/s — i.e.
+vs_baseline >= 1.0 means the north-star throughput target is met.
+"""
+
+import json
+import time
+
+import jax
+
+N_ENVS = 256
+CHUNK = 100
+TIMED_ROUNDS = 3
+BASELINE_STEPS_PER_SEC = 30_000.0
+
+
+def main():
+    from distributedconvrl_pde_control_tpu.configs import KS22, build_ks
+    from distributedconvrl_pde_control_tpu.configs.ks import ks_random_init
+    from distributedconvrl_pde_control_tpu.train.batched import (
+        BatchedTrainer,
+        BatchedTrainerConfig,
+    )
+
+    setup = build_ks(KS22)
+    trainer = BatchedTrainer(
+        setup.env,
+        setup.agent,
+        BatchedTrainerConfig(n_envs=N_ENVS, batch_size=256, update_loops=1),
+        random_init=ks_random_init(KS22),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    chunk_fn = trainer.make_chunk_fn(CHUNK)
+
+    # compile + warmup
+    ts, rewards = chunk_fn(ts)
+    jax.block_until_ready(rewards)
+
+    best_rate = 0.0
+    for _ in range(TIMED_ROUNDS):
+        t0 = time.perf_counter()
+        ts, rewards = chunk_fn(ts)
+        jax.block_until_ready(rewards)
+        dt = time.perf_counter() - t0
+        best_rate = max(best_rate, CHUNK * N_ENVS / dt)
+
+    print(json.dumps({
+        "metric": "env steps/sec (batched KS rollout+train)",
+        "value": round(best_rate, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(best_rate / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -162,10 +162,9 @@ class DDPGAgent:
         noise to the non-memory rows and is gated by the warmup phase.
         Does NOT bump update_step — the loop owns that counter."""
         cfg = self.cfg
-        n_cols = 1 if cfg.mono else cfg.n_actuators
-        shape = (cfg.na_rows, n_cols)
         k_start, k_noise = jax.random.split(key)
         actions = self.actor_apply(astate.actor, obs)
+        shape = actions.shape  # (na_rows, n_cols) — n_cols widens in batched-env mode
         if learning:
             noise = jax.random.normal(k_noise, shape) * astate.act_noise
             if cfg.memory_size > 0:
@@ -177,8 +176,11 @@ class DDPGAgent:
         return jnp.clip(actions, -cfg.act_limit, cfg.act_limit)
 
     # ----------------------------------------------------------------- learn
-    def learn_batch(self, astate: DDPGState, batch) -> DDPGState:
-        """One sampled SGD step — exact math of PDEagent.jl:363-418."""
+    def learn_batch(self, astate: DDPGState, batch, axis_name: Optional[str] = None) -> DDPGState:
+        """One sampled SGD step — exact math of PDEagent.jl:363-418.
+
+        `axis_name`: mesh axis to pmean gradients over (data-parallel
+        learning; params/optimizer stay replicated)."""
         cfg = self.cfg
         s, a, r, t, sn = batch
 
@@ -191,6 +193,8 @@ class DDPGAgent:
             return jnp.mean((q_target - q) ** 2)
 
         c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(astate.critic)
+        if axis_name is not None:
+            c_grads = jax.lax.pmean(c_grads, axis_name)
         c_updates, opt_critic = self.opt_c.update(c_grads, astate.opt_critic, astate.critic)
         critic = optax.apply_updates(astate.critic, c_updates)
 
@@ -200,6 +204,8 @@ class DDPGAgent:
             return -jnp.mean(self.critic_apply(critic, s, self.actor_apply(ap, s)))
 
         a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(astate.actor)
+        if axis_name is not None:
+            a_grads = jax.lax.pmean(a_grads, axis_name)
         a_updates, opt_actor = self.opt_a.update(a_grads, astate.opt_actor, astate.actor)
         actor = optax.apply_updates(astate.actor, a_updates)
 

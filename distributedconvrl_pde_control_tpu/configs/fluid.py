@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGConfig
+from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.envs.features import Conv2DFeaturizer, taylor_kernels_2d
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import NSSolver, initial_condition
@@ -129,7 +130,7 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
 
     def reward_fn(y_hat, action, delta_action):
         """FluidSetup.jl:188-202."""
-        y = jnp.fft.ifft2(y_hat).real.reshape(-1)
+        y = fourier.ifft2(y_hat).real.reshape(-1)
         dots = jnp.abs(sensor_matrix @ y) ** cfg.reward_pow / cfg.reward_norm
         return (
             -jnp.abs(dots)
@@ -140,7 +141,7 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
     def prepare_action(action):
         """FluidSetup.jl:247-261: spectral forcing fft(sum_i 70*a_i*g_i)."""
         p = cfg.agent_power * (action[0] @ actuator_stack)
-        return jnp.fft.fft2(p.reshape(n, n))
+        return fourier.fft2(p.reshape(n, n))
 
     def step_fn(y_hat, forcing_hat):
         return solver.step(y_hat, forcing_hat, cfg.dt, cfg.oversampling)

@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import meshgrid_xy, taylor_vortex
 
 
@@ -217,7 +218,7 @@ class Conv2DFeaturizer:
         return self.window_size**2 * self.temporal_steps + self.memory_size
 
     def __call__(self, y_hat, prev_obs=None, action=None):
-        y = jnp.fft.ifft2(y_hat).real.reshape(-1)
+        y = fourier.ifft2(y_hat).real.reshape(-1)
         vals = (self.sensor_matrix @ y) * self.scale
         spa = self.sensors_per_axis
         sensors = vals.reshape(spa, spa)  # sensor i -> (i // spa, i % spa), FluidSetup.jl:216

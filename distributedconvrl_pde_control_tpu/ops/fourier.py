@@ -1,0 +1,159 @@
+"""Backend-adaptive Fourier transforms: XLA FFT or MXU matmul-DFT.
+
+The spectral solvers are FFT-bound. On backends with a native FFT lowering
+(CPU/GPU, standard TPU runtimes) we use `jnp.fft.*`. On TPU runtimes without
+an FFT kernel (e.g. the axon PJRT backend in this image) — and as an
+MXU-friendly option in general — every transform is expressed as dense
+DFT-matrix contractions in float32 at HIGHEST precision:
+
+    rfft:   Re = y @ C,  Im = -y @ S           (two real matmuls)
+    fft2:   left/right complex-matrix products, 4 real matmuls per axis
+
+For this framework's grid sizes (192..600 points in 1D, 128^2..256^2 in 2D)
+the O(n^2) systolic-array DFT is bandwidth- and latency-competitive with an
+O(n log n) FFT: the DFT matrices live in VMEM across the fused solver scan
+and the contraction runs at MXU rates, while batched envs amortize the
+matrix loads. This is the "keep the FLOPs on the MXU" rule of the TPU
+programming model applied to spectral methods.
+
+DFT matrices are cached per length and embedded as jit constants.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FORCE = os.environ.get("DCRL_FFT_MODE", "auto")  # auto | matmul | native
+
+
+def use_matmul_dft(mode: str = "auto") -> bool:
+    """Resolve the transform implementation at trace time.
+
+    `mode` overrides per call site ("matmul" | "native"); "auto" defers to
+    the DCRL_FFT_MODE env var, then to the backend (matmul on TPU runtimes).
+    """
+    if mode != "auto":
+        return mode == "matmul"
+    if _FORCE == "matmul":
+        return True
+    if _FORCE == "native":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+_P = jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def _dft_mats_np(n: int):
+    """cos/sin DFT matrices: C[j,k] = cos(2*pi*j*k/n), S[j,k] = sin(...).
+
+    Cached as NumPy (device constants are materialized per trace — caching
+    jnp arrays would leak tracers across jit scopes)."""
+    jk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    return np.cos(jk).astype(np.float32), np.sin(jk).astype(np.float32)
+
+
+def _dft_mats(n: int):
+    c, s = _dft_mats_np(n)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+@lru_cache(maxsize=None)
+def _rdft_mats_np(n: int):
+    """Real-input forward matrices to the half spectrum (n//2+1 bins)."""
+    nf = n // 2 + 1
+    jk = np.outer(np.arange(n), np.arange(nf)) * (2.0 * np.pi / n)
+    return np.cos(jk).astype(np.float32), np.sin(jk).astype(np.float32)
+
+
+def _rdft_mats(n: int):
+    c, s = _rdft_mats_np(n)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+@lru_cache(maxsize=None)
+def _irdft_mats_np(n: int):
+    """Half-spectrum -> real signal synthesis matrices with Hermitian
+    doubling weights (w=1 for DC/Nyquist, 2 otherwise, all /n)."""
+    nf = n // 2 + 1
+    kj = np.outer(np.arange(nf), np.arange(n)) * (2.0 * np.pi / n)
+    w = np.full((nf, 1), 2.0 / n)
+    w[0] = 1.0 / n
+    if n % 2 == 0:
+        w[-1] = 1.0 / n
+    return (np.cos(kj) * w).astype(np.float32), (np.sin(kj) * w).astype(np.float32)
+
+
+def _irdft_mats(n: int):
+    c, s = _irdft_mats_np(n)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+# ------------------------------------------------------------------ 1D real
+def rfft(y: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
+    if not use_matmul_dft(mode):
+        return jnp.fft.rfft(y, axis=axis)
+    y = jnp.moveaxis(y, axis, -1)
+    n = y.shape[-1]
+    c, s = _rdft_mats(n)
+    re = jnp.matmul(y, c, precision=_P)
+    im = -jnp.matmul(y, s, precision=_P)
+    return jnp.moveaxis(jax.lax.complex(re, im), -1, axis)
+
+
+def irfft(h: jnp.ndarray, n: int, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
+    if not use_matmul_dft(mode):
+        return jnp.fft.irfft(h, n=n, axis=axis)
+    h = jnp.moveaxis(h, axis, -1)
+    ci, si = _irdft_mats(n)
+    y = jnp.matmul(h.real, ci, precision=_P) - jnp.matmul(h.imag, si, precision=_P)
+    return jnp.moveaxis(y, -1, axis)
+
+
+# --------------------------------------------------------------- 1D complex
+def _cmatmul_right(xr, xi, c, s, sign: float):
+    """(xr + i xi) @ (C + i*sign*S) split into real matmuls."""
+    zr = jnp.matmul(xr, c, precision=_P) - sign * jnp.matmul(xi, s, precision=_P)
+    zi = jnp.matmul(xi, c, precision=_P) + sign * jnp.matmul(xr, s, precision=_P)
+    return zr, zi
+
+
+def fft(x: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
+    if not use_matmul_dft(mode):
+        return jnp.fft.fft(x, axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    c, s = _dft_mats(x.shape[-1])
+    xr, xi = jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+    zr, zi = _cmatmul_right(xr, xi, c, s, sign=-1.0)  # F = C - iS
+    return jnp.moveaxis(jax.lax.complex(zr, zi), -1, axis)
+
+
+def ifft(x: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
+    if not use_matmul_dft(mode):
+        return jnp.fft.ifft(x, axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    c, s = _dft_mats(n)
+    xr, xi = jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+    zr, zi = _cmatmul_right(xr, xi, c, s, sign=1.0)  # F^-1 = (C + iS)/n
+    return jnp.moveaxis(jax.lax.complex(zr / n, zi / n), -1, axis)
+
+
+# ----------------------------------------------------------------------- 2D
+def fft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
+    if not use_matmul_dft(mode):
+        return jnp.fft.fft2(x)
+    return fft(fft(x, axis=-1, mode="matmul"), axis=-2, mode="matmul")
+
+
+def ifft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
+    if not use_matmul_dft(mode):
+        return jnp.fft.ifft2(x)
+    return ifft(ifft(x, axis=-1, mode="matmul"), axis=-2, mode="matmul")

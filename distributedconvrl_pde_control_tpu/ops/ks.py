@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.ops.spectral import ks_rfft_operators
 
 
@@ -39,6 +40,7 @@ class KSSolver:
     dt: float
     oversampling: int
     mu: float = 0.0
+    fft_mode: str = "auto"  # "auto" | "matmul" | "native" (part of the jit key)
 
     # derived spectral operators (filled in __post_init__)
     g_op: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
@@ -79,18 +81,18 @@ class KSSolver:
         dt2 = dt_os / 2.0
         dt32 = 3.0 * dt_os / 2.0
 
-        u = jnp.fft.rfft(y.astype(jnp.float32))
+        u = fourier.rfft(y.astype(jnp.float32), mode=self.fft_mode)
         # initial nonlinear term from the real field (KSSetup.jl:140-141)
-        nn = self.g_op * jnp.fft.rfft(y * y)
-        f_hat = jnp.fft.rfft(forcing.astype(jnp.float32)) * dt_os
+        nn = self.g_op * fourier.rfft(y * y, mode=self.fft_mode)
+        f_hat = fourier.rfft(forcing.astype(jnp.float32), mode=self.fft_mode) * dt_os
 
         def substep(carry, _):
             u, nn = carry
             nn1 = nn
-            ur = jnp.fft.irfft(u, n=self.nx)
-            nn = self.g_op * jnp.fft.rfft(ur * ur)
+            ur = fourier.irfft(u, self.nx, mode=self.fft_mode)
+            nn = self.g_op * fourier.rfft(ur * ur, mode=self.fft_mode)
             u = self.a_inv * (self.b_op * u + dt32 * nn - dt2 * nn1 + f_hat) + self.dist_hat
             return (u, nn), None
 
         (u, _), _ = jax.lax.scan(substep, (u, nn), None, length=self.oversampling)
-        return jnp.fft.irfft(u, n=self.nx)
+        return fourier.irfft(u, self.nx, mode=self.fft_mode)

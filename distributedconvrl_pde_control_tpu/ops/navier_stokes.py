@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.ops.spectral import (
     chop_32,
     fft_wavenumbers,
@@ -41,6 +42,7 @@ class NSSolver:
     ly: float = 1.0
     nu: float = 5e-5
     dealias: bool = True
+    fft_mode: str = "auto"  # part of the jit key
 
     kx_row: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
     ky_col: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
@@ -63,6 +65,12 @@ class NSSolver:
         object.__setattr__(self, "k2", jnp.asarray(k2, dtype=jnp.float32))
         object.__setattr__(self, "inv_k2", jnp.asarray(inv_k2, dtype=jnp.float32))
 
+    def _f2(self, x):
+        return fourier.fft2(x, mode=self.fft_mode)
+
+    def _if2(self, x):
+        return fourier.ifft2(x, mode=self.fft_mode)
+
     # ---------------------------------------------------------------- rhs
     def advection(self, omghat: jnp.ndarray) -> jnp.ndarray:
         """Nonlinear advection term in wavespace (fluid_rk4.jl:145-190)."""
@@ -74,19 +82,19 @@ class NSSolver:
 
         if self.dealias:
             nxp, nyp = 3 * self.nx // 2, 3 * self.ny // 2
-            up = jnp.fft.ifft2(pad_32(uhat, nyp, nxp)).real
-            vp = jnp.fft.ifft2(pad_32(vhat, nyp, nxp)).real
-            dwdxp = jnp.fft.ifft2(pad_32(domgdx, nyp, nxp)).real
-            dwdyp = jnp.fft.ifft2(pad_32(domgdy, nyp, nxp)).real
-            temp = jnp.fft.fft2(-up * dwdxp - vp * dwdyp)
+            up = self._if2(pad_32(uhat, nyp, nxp)).real
+            vp = self._if2(pad_32(vhat, nyp, nxp)).real
+            dwdxp = self._if2(pad_32(domgdx, nyp, nxp)).real
+            dwdyp = self._if2(pad_32(domgdy, nyp, nxp)).real
+            temp = self._f2(-up * dwdxp - vp * dwdyp)
             # * 1.5 * 1.5 rescales the padded-grid FFT normalization
             # (fluid_rk4.jl:176)
             return chop_32(temp, self.ny, self.nx) * 2.25
-        u = jnp.fft.ifft2(uhat).real
-        v = jnp.fft.ifft2(vhat).real
-        dwdx = jnp.fft.ifft2(domgdx).real
-        dwdy = jnp.fft.ifft2(domgdy).real
-        return jnp.fft.fft2(-u * dwdx - v * dwdy)
+        u = self._if2(uhat).real
+        v = self._if2(vhat).real
+        dwdx = self._if2(domgdx).real
+        dwdy = self._if2(domgdy).real
+        return self._f2(-u * dwdx - v * dwdy)
 
     def rhs(self, omghat: jnp.ndarray, forcing_hat: jnp.ndarray) -> jnp.ndarray:
         """d(omega_hat)/dt = -nu*k^2*omega_hat + advection + forcing
@@ -122,10 +130,10 @@ class NSSolver:
         # inv_k2 table encodes the same convention.
         uhat = 1j * self.ky_col * psihat
         vhat = -1j * self.kx_row * psihat
-        omg = jnp.fft.ifft2(omghat).real
-        psi = jnp.fft.ifft2(psihat).real
-        u = jnp.fft.ifft2(uhat).real
-        v = jnp.fft.ifft2(vhat).real
+        omg = self._if2(omghat).real
+        psi = self._if2(psihat).real
+        u = self._if2(uhat).real
+        v = self._if2(vhat).real
         return u, v, omg, psi
 
 

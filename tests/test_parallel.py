@@ -1,0 +1,142 @@
+"""Multi-chip path tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from distributedconvrl_pde_control_tpu.parallel.dfft import dfft2, difft2
+from distributedconvrl_pde_control_tpu.parallel.halo import halo_exchange_1d
+from distributedconvrl_pde_control_tpu.parallel.mesh import make_dp_sp_mesh
+from distributedconvrl_pde_control_tpu.parallel.ns_sharded import (
+    NSShardedSolver,
+    make_sharded_ops,
+)
+
+
+def sp_mesh(n=4):
+    return Mesh(np.asarray(jax.devices()[:n]), axis_names=("sp",))
+
+
+def test_dfft2_matches_fft2():
+    mesh = sp_mesh(4)
+    ny = nx = 32
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((ny, nx)).astype(np.float32)
+
+    f = shard_map(
+        lambda b: dfft2(b, "sp"), mesh=mesh,
+        in_specs=P("sp", None), out_specs=P(None, "sp"),
+    )
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    want = np.fft.fft2(x)
+    assert np.allclose(got, want, atol=1e-3)
+
+    g = shard_map(
+        lambda b: difft2(b, "sp"), mesh=mesh,
+        in_specs=P(None, "sp"), out_specs=P("sp", None),
+    )
+    back = np.asarray(jax.jit(g)(jnp.asarray(got)))
+    assert np.allclose(back.real, x, atol=1e-4)
+
+
+def test_dfft2_batched():
+    mesh = sp_mesh(4)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    f = shard_map(
+        lambda b: dfft2(b, "sp"), mesh=mesh,
+        in_specs=P(None, "sp", None), out_specs=P(None, None, "sp"),
+    )
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    assert np.allclose(got, np.fft.fft2(x, axes=(-2, -1)), atol=1e-3)
+
+
+def test_sharded_ns_matches_unsharded_truncated():
+    """The sharded RK4 step must match a single-device run of the identical
+    2/3-truncated scheme."""
+    mesh = sp_mesh(4)
+    nx = ny = 32
+    nu, dt, oversampling = 5e-4, 0.01, 4
+    ops = make_sharded_ops(nx, ny)
+    solver = NSShardedSolver(nu=nu, sp_axis="sp")
+
+    rng = np.random.default_rng(2)
+    omg = rng.standard_normal((ny, nx)).astype(np.float32)
+    w = np.fft.fft2(omg).astype(np.complex64) * np.asarray(ops.mask23)
+
+    step = shard_map(
+        lambda wb, ob: solver.step(wb, jnp.zeros_like(wb), ob, dt, oversampling),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), jax.tree.map(lambda _: P(None, "sp"), ops)),
+        out_specs=P(None, "sp"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(step)(jnp.asarray(w), ops))
+
+    # single-device oracle: same scheme with plain fft2
+    def rhs(wh):
+        psih = wh * np.asarray(ops.inv_k2)
+        u = np.fft.ifft2(1j * np.asarray(ops.ky) * psih).real
+        v = np.fft.ifft2(-1j * np.asarray(ops.kx) * psih).real
+        dwdx = np.fft.ifft2(1j * np.asarray(ops.kx) * wh).real
+        dwdy = np.fft.ifft2(1j * np.asarray(ops.ky) * wh).real
+        nonlin = np.fft.fft2(-u * dwdx - v * dwdy) * np.asarray(ops.mask23)
+        return -nu * np.asarray(ops.k2) * wh + nonlin
+
+    want = w.astype(np.complex128)
+    h = dt / oversampling
+    for _ in range(oversampling):
+        k1 = rhs(want)
+        k2 = rhs(want + 0.5 * h * k1)
+        k3 = rhs(want + 0.5 * h * k2)
+        k4 = rhs(want + h * k3)
+        want = want + h / 6 * (k1 + 2 * (k2 + k3) + k4)
+
+    assert np.allclose(got, want, atol=5e-3), np.abs(got - want).max()
+
+
+def test_halo_exchange_periodic_and_clamped():
+    mesh = sp_mesh(4)
+    x = np.arange(16, dtype=np.float32)
+
+    f = shard_map(
+        lambda b: halo_exchange_1d(b, "sp", halo=1, periodic=True),
+        mesh=mesh, in_specs=P("sp"), out_specs=P("sp"), check_vma=False,
+    )
+    out = np.asarray(jax.jit(f)(jnp.asarray(x))).reshape(4, 6)
+    # block 0 holds [15, 0,1,2,3, 4]
+    assert np.allclose(out[0], [15, 0, 1, 2, 3, 4])
+    assert np.allclose(out[3], [11, 12, 13, 14, 15, 0])
+
+    g = shard_map(
+        lambda b: halo_exchange_1d(b, "sp", halo=1, periodic=False),
+        mesh=mesh, in_specs=P("sp"), out_specs=P("sp"), check_vma=False,
+    )
+    out = np.asarray(jax.jit(g)(jnp.asarray(x))).reshape(4, 6)
+    assert np.allclose(out[0], [0, 0, 1, 2, 3, 4])  # clamped left ghost
+    assert np.allclose(out[3], [11, 12, 13, 14, 15, 15])  # clamped right
+
+
+def test_multichip_trainer_one_step():
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        MultichipFluidConfig,
+        MultichipFluidTrainer,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = MultichipFluidConfig(nx=16, sensors_per_axis=4, n_envs=4, oversampling=2,
+                               batch_size=8, capacity_per_dp=1024)
+    tr = MultichipFluidTrainer(cfg, mesh)
+    state = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_step()
+    w0 = state.w
+    s1 = step(state, w0)
+    s2 = step(s1, w0)
+    assert np.isfinite(float(s2.mean_reward))
+    assert int(s2.replay.size[0]) == 2 * (cfg.n_envs // 2) * cfg.n_act
+    # params must remain replicated/identical after dp-pmean learning
+    w_actor = np.asarray(s2.agent.actor[0]["w"])
+    assert np.isfinite(w_actor).all()
