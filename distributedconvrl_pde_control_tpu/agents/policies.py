@@ -1,0 +1,57 @@
+"""Baseline policies: Zero, Random, Negate (classical opposition control).
+
+Rebuild of `ZeroPolicy` (src/PDEagent.jl:420-424), RL.jl's RandomPolicy as
+used by the Keller–Segel setup (KellerSegelSetup.jl:75), and `NegatePolicy`
+(FluidSetup.jl:277-326).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ZeroPolicy:
+    action_shape: tuple
+
+    def __call__(self, obs, key=None):
+        return jnp.zeros(self.action_shape, jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomPolicy:
+    action_shape: tuple
+
+    def __call__(self, obs, key):
+        return jax.random.uniform(key, self.action_shape, jnp.float32, -1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class NegatePolicy:
+    """Opposition control: each actuator pushes against its own sensor.
+
+    The reference loops `result[i] = -env.state[i]` over linear indices
+    (FluidSetup.jl:292-295); with a multi-row observation matrix that walks
+    down the first columns rather than across actuators, which reads like an
+    indexing accident — the stated intent (classical opposition control
+    baseline) is actuator i opposing the sensor at its own site, i.e. the
+    CENTER row of column i. We implement the intent; `faithful=True`
+    reproduces the reference's literal column-major linear indexing.
+    """
+
+    action_shape: tuple
+    center_row: int  # index of the own-site sensor row in the obs matrix
+    faithful: bool = False
+
+    def __call__(self, obs, key=None):
+        n_rows, n_act = self.action_shape
+        if self.faithful:
+            flat = obs.T.reshape(-1)  # column-major walk, like Julia's A[i]
+            act = -flat[: n_rows * n_act].reshape(n_act, n_rows).T
+        else:
+            act = -obs[self.center_row].reshape(1, -1)
+            act = jnp.broadcast_to(act, self.action_shape)
+        return jnp.clip(act, -1.0, 1.0)

@@ -34,10 +34,12 @@ def ks_rfft_operators(nx: int, lx: float):
     alpha = 2.0 * np.pi * k / lx
     d_op = 1j * alpha
     lin_op = alpha**2 - alpha**4
+    # NumPy (host) arrays: solver __post_init__ composes these further, and
+    # some TPU runtimes (axon) cannot transfer complex device arrays to host.
     return (
-        jnp.asarray(alpha, dtype=jnp.float32),
-        jnp.asarray(d_op, dtype=jnp.complex64),
-        jnp.asarray(lin_op, dtype=jnp.float32),
+        alpha.astype(np.float32),
+        d_op.astype(np.complex64),
+        lin_op.astype(np.float32),
     )
 
 

@@ -1,0 +1,97 @@
+"""Checkpoint/resume of agent + hook.
+
+Rebuild of the reference's JLD2 `save()/load()` (KSSetup.jl:378-402): the
+whole agent (networks + optimizer state + replay buffer + schedule counters)
+and the hook (reward history, best-actor params, best trajectory) round-trip
+to disk, with optional numbering for `train_multi`'s per-experiment saves
+(KSSetup.jl:354-356).
+
+Format: flax msgpack for the TrainState pytree, npz+json for the hook.
+Complex arrays are split to real/imag on save (some TPU runtimes cannot
+transfer complex device buffers to host).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+from distributedconvrl_pde_control_tpu.train.loop import TrainState
+from distributedconvrl_pde_control_tpu.utils.hostarray import to_numpy
+
+
+def _paths(dirpath: str, number: Optional[int]):
+    os.makedirs(os.path.join(dirpath, "saves"), exist_ok=True)
+    suffix = "" if number is None else str(number)
+    return (
+        os.path.join(dirpath, "saves", f"agent{suffix}.msgpack"),
+        os.path.join(dirpath, "saves", f"hook{suffix}.npz"),
+    )
+
+
+def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = None) -> None:
+    agent_path, hook_path = _paths(dirpath, number)
+    host_ts = jax.tree.map(to_numpy, ts)
+    with open(agent_path, "wb") as f:
+        f.write(serialization.to_bytes(host_ts))
+
+    payload = {
+        "rewards": np.asarray(hook.rewards, np.float64),
+        "rewards_compare": np.asarray(hook.rewards_compare, np.float64),
+        "errored_episodes": np.asarray(hook.errored_episodes, np.int64),
+        "meta": np.frombuffer(
+            json.dumps({
+                "bestreward": hook.bestreward,
+                "bestepisode": hook.bestepisode,
+                "ep": hook.ep,
+                "min_best_episode": hook.min_best_episode,
+            }).encode(),
+            dtype=np.uint8,
+        ),
+    }
+    if hook.best_actor is not None:
+        for i, layer in enumerate(hook.best_actor):
+            payload[f"best_actor_w{i}"] = to_numpy(layer["w"])
+            payload[f"best_actor_b{i}"] = to_numpy(layer["b"])
+    if hook.best_trace is not None:
+        for k, v in hook.best_trace.items():
+            payload[f"best_trace_{k}"] = np.asarray(v)
+    np.savez_compressed(hook_path, **payload)
+
+
+def load(dirpath: str, ts_template: TrainState, number: Optional[int] = None):
+    """Returns (TrainState, PDEHook). `ts_template` supplies the pytree
+    structure/shapes (build it with `init_train_state` on the same setup)."""
+    agent_path, hook_path = _paths(dirpath, number)
+    with open(agent_path, "rb") as f:
+        ts = serialization.from_bytes(ts_template, f.read())
+    ts = jax.tree.map(jax.numpy.asarray, ts)
+
+    data = np.load(hook_path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta"]).decode())
+    hook = PDEHook(min_best_episode=meta["min_best_episode"])
+    hook.rewards = list(data["rewards"])
+    hook.rewards_compare = list(data["rewards_compare"])
+    hook.errored_episodes = list(data["errored_episodes"])
+    hook.bestreward = meta["bestreward"]
+    hook.bestepisode = meta["bestepisode"]
+    hook.ep = meta["ep"]
+
+    n_layers = len([k for k in data.files if k.startswith("best_actor_w")])
+    if n_layers:
+        hook.best_actor = [
+            {"w": data[f"best_actor_w{i}"], "b": data[f"best_actor_b{i}"]}
+            for i in range(n_layers)
+        ]
+    trace_keys = [k for k in data.files if k.startswith("best_trace_")]
+    if trace_keys:
+        hook.best_trace = {k[len("best_trace_"):]: data[k] for k in trace_keys}
+        if "steps" in hook.best_trace:
+            hook.best_trace["steps"] = int(hook.best_trace["steps"])
+    return ts, hook

@@ -19,6 +19,8 @@ from typing import Any, Callable, List, Optional
 import jax
 import numpy as np
 
+from distributedconvrl_pde_control_tpu.utils.hostarray import to_numpy
+
 
 @dataclasses.dataclass
 class PDEHook:
@@ -46,10 +48,10 @@ class PDEHook:
         trace = None
         if self.collect_best_trace or self.collect_history:
             trace = {
-                "y": np.asarray(result.y_trace),
-                "action": np.asarray(result.action_trace),
-                "forcing": np.asarray(result.forcing_trace),
-                "reward": np.asarray(result.reward_trace),
+                "y": to_numpy(result.y_trace),
+                "action": to_numpy(result.action_trace),
+                "forcing": to_numpy(result.forcing_trace),
+                "reward": to_numpy(result.reward_trace),
                 "steps": int(result.steps),
             }
 
