@@ -1,8 +1,12 @@
 """2D Navier–Stokes vorticity-control presets (scripts/Fluid/*).
 
-The env state is the *spectral* vorticity (complex); featurize/reward work on
-the real-space field after an inverse FFT, and prepare_action returns the
-spectral forcing (FluidSetup.jl:188-261).
+The reference keeps the env state as *spectral* vorticity (complex) with
+featurize/reward iffting to real space and prepare_action ffting the forcing
+(FluidSetup.jl:188-261). On TPU, complex dtypes are emulated (and
+untransferable on some runtimes), so this build keeps the REAL vorticity
+field as the env state and the solver carries (re, im) float32 spectra
+internally (`NSSolver.step_real`) — numerically identical, one extra
+transform pair per env step.
 """
 
 from __future__ import annotations
@@ -14,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGConfig
-from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.envs.features import Conv2DFeaturizer, taylor_kernels_2d
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import NSSolver, initial_condition
@@ -98,10 +101,9 @@ FLUID_16 = FluidConfig(name="Fluid_16", seed=436, sensors_per_axis=16, variance=
 FLUID_32 = FluidConfig(name="Fluid_32", seed=886, sensors_per_axis=32, variance=0.022)
 
 
-def fluid_error_detection(y_hat: np.ndarray) -> bool:
+def fluid_error_detection(y: np.ndarray) -> bool:
     """Corrupted-field detector: neighbor jumps > 10 in real space
     (FluidSetup.jl:263-273)."""
-    y = np.fft.ifft2(y_hat).real
     return bool(
         np.abs(np.roll(y, 1, 0) - y).max() > 10.0 or np.abs(np.roll(y, 1, 1) - y).max() > 10.0
     )
@@ -128,10 +130,9 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
         memory_size=cfg.memory_size,
     )
 
-    def reward_fn(y_hat, action, delta_action):
-        """FluidSetup.jl:188-202."""
-        y = fourier.ifft2(y_hat).real.reshape(-1)
-        dots = jnp.abs(sensor_matrix @ y) ** cfg.reward_pow / cfg.reward_norm
+    def reward_fn(y, action, delta_action):
+        """FluidSetup.jl:188-202 (state already real-space)."""
+        dots = jnp.abs(sensor_matrix @ y.reshape(-1)) ** cfg.reward_pow / cfg.reward_norm
         return (
             -jnp.abs(dots)
             - cfg.action_punish * action[0] ** 2
@@ -139,15 +140,16 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
         )
 
     def prepare_action(action):
-        """FluidSetup.jl:247-261: spectral forcing fft(sum_i 70*a_i*g_i)."""
+        """FluidSetup.jl:247-261 — real forcing field; the solver transforms
+        it once per env step."""
         p = cfg.agent_power * (action[0] @ actuator_stack)
-        return fourier.fft2(p.reshape(n, n))
+        return p.reshape(n, n)
 
-    def step_fn(y_hat, forcing_hat):
-        return solver.step(y_hat, forcing_hat, cfg.dt, cfg.oversampling)
+    def step_fn(y, forcing):
+        return solver.step_real(y, forcing, cfg.dt, cfg.oversampling)
 
     rng0 = np.random.default_rng(cfg.grid_seed)
-    y0 = initial_condition(4, n, n, cfg.lx, cfg.lx, rng0).astype(np.complex64)
+    y0 = np.fft.ifft2(initial_condition(4, n, n, cfg.lx, cfg.lx, rng0)).real.astype(np.float32)
 
     env = PDEEnv(
         step_fn=step_fn,
@@ -192,7 +194,8 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         rng = np.random.default_rng(seed)
         case = 4 if cfg.evaluation else 3
-        return jnp.asarray(initial_condition(case, n, n, cfg.lx, cfg.lx, rng), jnp.complex64)
+        w = initial_condition(case, n, n, cfg.lx, cfg.lx, rng)
+        return jnp.asarray(np.fft.ifft2(w).real, jnp.float32)
 
     return Setup(
         name=cfg.name,

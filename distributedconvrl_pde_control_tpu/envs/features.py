@@ -22,7 +22,6 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import meshgrid_xy, taylor_vortex
 
 
@@ -198,8 +197,12 @@ class Conv1DFeaturizer:
 
 @dataclasses.dataclass(frozen=True)
 class Conv2DFeaturizer:
-    """Fluid-style observations: the state is *spectral* vorticity; sensor
-    dots run against the real-space field (FluidSetup.jl:204-245)."""
+    """Fluid-style observations (FluidSetup.jl:204-245): sensor dot products
+    against the real-space vorticity field.
+
+    The reference keeps spectral state and iffts here; our fluid env keeps
+    the REAL field (complex dtypes are emulated on TPU), so `y` arrives
+    already in real space."""
 
     sensor_matrix: jnp.ndarray  # (n_sensors, ny*nx), row-major sensor order
     actuators_to_sensors: np.ndarray
@@ -217,9 +220,8 @@ class Conv2DFeaturizer:
     def obs_dim(self) -> int:
         return self.window_size**2 * self.temporal_steps + self.memory_size
 
-    def __call__(self, y_hat, prev_obs=None, action=None):
-        y = fourier.ifft2(y_hat).real.reshape(-1)
-        vals = (self.sensor_matrix @ y) * self.scale
+    def __call__(self, y, prev_obs=None, action=None):
+        vals = (self.sensor_matrix @ y.reshape(-1)) * self.scale
         spa = self.sensors_per_axis
         sensors = vals.reshape(spa, spa)  # sensor i -> (i // spa, i % spa), FluidSetup.jl:216
         base = _window_stack_2d(sensors, self.window_size)

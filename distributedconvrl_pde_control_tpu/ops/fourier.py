@@ -157,3 +157,62 @@ def ifft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
     if not use_matmul_dft(mode):
         return jnp.fft.ifft2(x)
     return ifft(ifft(x, axis=-1, mode="matmul"), axis=-2, mode="matmul")
+
+
+# ----------------------------------------------------- real/imag split API
+# Complex dtypes are emulated on TPU and some runtimes (axon) fail to
+# compile or transfer them at all; the solvers' hot paths therefore carry
+# spectra as (re, im) float32 pairs. In native mode these wrappers still
+# call the complex FFT internally (CPU/GPU), so callers have one code path.
+
+def rfft_ri(y: jnp.ndarray, mode: str = "auto"):
+    """Real signal -> (re, im) half-spectrum along axis -1."""
+    if not use_matmul_dft(mode):
+        h = jnp.fft.rfft(y, axis=-1)
+        return jnp.real(h), jnp.imag(h)
+    c, s = _rdft_mats(y.shape[-1])
+    return jnp.matmul(y, c, precision=_P), -jnp.matmul(y, s, precision=_P)
+
+
+def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n: int, mode: str = "auto") -> jnp.ndarray:
+    """(re, im) half-spectrum -> real signal of length n along axis -1."""
+    if not use_matmul_dft(mode):
+        return jnp.fft.irfft(jax.lax.complex(re, im), n=n, axis=-1)
+    ci, si = _irdft_mats(n)
+    return jnp.matmul(re, ci, precision=_P) - jnp.matmul(im, si, precision=_P)
+
+
+def _fft_ri_axis(xr, xi, axis: int, sign: float, mode: str):
+    """(xr + i xi) transformed along `axis`; sign=-1 forward, +1 inverse
+    (inverse includes the 1/n scale)."""
+    if not use_matmul_dft(mode):
+        z = jax.lax.complex(xr, xi)
+        z = jnp.fft.fft(z, axis=axis) if sign < 0 else jnp.fft.ifft(z, axis=axis)
+        return jnp.real(z), jnp.imag(z)
+    xr = jnp.moveaxis(xr, axis, -1)
+    xi = jnp.moveaxis(xi, axis, -1)
+    n = xr.shape[-1]
+    c, s = _dft_mats(n)
+    zr, zi = _cmatmul_right(xr, xi, c, s, sign=sign)
+    if sign > 0:
+        zr, zi = zr / n, zi / n
+    return jnp.moveaxis(zr, -1, axis), jnp.moveaxis(zi, -1, axis)
+
+
+def fft2_ri(xr: jnp.ndarray, xi=None, mode: str = "auto"):
+    """2D forward transform of xr + i xi (xi None = real input)."""
+    if xi is None:
+        xi = jnp.zeros_like(xr)
+    xr, xi = _fft_ri_axis(xr, xi, -1, -1.0, mode)
+    return _fft_ri_axis(xr, xi, -2, -1.0, mode)
+
+
+def ifft2_ri(xr: jnp.ndarray, xi: jnp.ndarray, mode: str = "auto"):
+    xr, xi = _fft_ri_axis(xr, xi, -1, 1.0, mode)
+    return _fft_ri_axis(xr, xi, -2, 1.0, mode)
+
+
+def ifft2_ri_real(xr: jnp.ndarray, xi: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
+    """Real part of the 2D inverse transform (for Hermitian spectra)."""
+    re, _ = ifft2_ri(xr, xi, mode)
+    return re

@@ -7,9 +7,17 @@ periodic domain, semantics matching the reference's `do_step`
 environment step.
 
 TPU-native design: the whole substep loop is a `lax.scan` over precomputed
-diagonal spectral operators on the rfft half-spectrum; one rfft/irfft pair per
-substep (the u^2 collocation), everything else is fused elementwise work.
-The environment-step forcing is transformed once outside the scan.
+diagonal spectral operators on the rfft half-spectrum, with the spectrum
+carried as a **(re, im) float32 pair** — complex dtypes are emulated on TPU
+(and unsupported for transfer on some runtimes), while the split form maps
+every operation onto plain VPU/MXU float math:
+
+    G = -0.5i*alpha  =>  G*z = (0.5*alpha*zi, -0.5*alpha*zr)
+    A_inv, B real    =>  componentwise scaling
+
+One transform pair per substep (the u^2 collocation); everything else is
+fused elementwise work. On runtimes without an FFT kernel the transforms are
+MXU matmul-DFTs (ops.fourier).
 """
 
 from __future__ import annotations
@@ -42,32 +50,39 @@ class KSSolver:
     mu: float = 0.0
     fft_mode: str = "auto"  # "auto" | "matmul" | "native" (part of the jit key)
 
-    # derived spectral operators (filled in __post_init__)
-    g_op: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    # derived spectral operators (all REAL arrays; complex arithmetic is
+    # expressed on (re, im) components)
+    g_alpha: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
     a_inv: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
     b_op: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
-    dist_hat: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    dist_re: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    dist_im: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
 
     def __post_init__(self):
-        _, d_op, lin_op = ks_rfft_operators(self.nx, self.lx)
+        alpha, _, lin_op = ks_rfft_operators(self.nx, self.lx)
         dt_os = self.dt / self.oversampling
         dt2 = dt_os / 2.0
-        # G = -0.5 * D (KSSetup.jl:119); A_inv/B at the oversampled dt
-        # (KSSetup.jl:134-135).
-        g_op = (-0.5 * np.asarray(d_op)).astype(np.complex64)
+        # G = -0.5*D = -0.5i*alpha (KSSetup.jl:119); stored as the real
+        # factor 0.5*alpha with the i folded into the component swap.
+        g_alpha = 0.5 * np.asarray(alpha, np.float64)
         lin = np.asarray(lin_op, dtype=np.float64)
         a_inv = 1.0 / (1.0 - dt2 * lin)
         b_op = 1.0 + dt2 * lin
         # disturbance mu*cos(2 + pi + x/(Lx/2)) (KSSetup.jl:155), transformed
-        # once; added *outside* the A_inv solve, exactly as the reference does.
+        # once; added *outside* the A_inv solve, exactly as the reference.
         dx = self.lx / self.nx
         x = np.arange(1, self.nx + 1) * dx
         dist = self.mu * np.cos(2.0 + np.pi + x / (self.lx / 2.0))
         dist_hat = np.fft.rfft(dist) * dt_os
-        object.__setattr__(self, "g_op", jnp.asarray(g_op))
+        object.__setattr__(self, "g_alpha", jnp.asarray(g_alpha, dtype=jnp.float32))
         object.__setattr__(self, "a_inv", jnp.asarray(a_inv, dtype=jnp.float32))
         object.__setattr__(self, "b_op", jnp.asarray(b_op, dtype=jnp.float32))
-        object.__setattr__(self, "dist_hat", jnp.asarray(dist_hat, dtype=jnp.complex64))
+        object.__setattr__(self, "dist_re", jnp.asarray(dist_hat.real, dtype=jnp.float32))
+        object.__setattr__(self, "dist_im", jnp.asarray(dist_hat.imag, dtype=jnp.float32))
+
+    def _apply_g(self, zr, zi):
+        """(re, im) of G*z with G = -0.5i*alpha."""
+        return self.g_alpha * zi, -self.g_alpha * zr
 
     @partial(jax.jit, static_argnums=0)
     def step(self, y: jnp.ndarray, forcing: jnp.ndarray) -> jnp.ndarray:
@@ -75,24 +90,32 @@ class KSSolver:
 
         `forcing` is the real-space forcing field p(x) (constant over the env
         step, as in the reference where env.p is fixed between agent actions).
-        Semantics of KSSetup.jl:130-160.
+        Semantics of KSSetup.jl:130-160. Supports leading batch dims.
         """
         dt_os = self.dt / self.oversampling
         dt2 = dt_os / 2.0
         dt32 = 3.0 * dt_os / 2.0
+        mode = self.fft_mode
 
-        u = fourier.rfft(y.astype(jnp.float32), mode=self.fft_mode)
+        y = y.astype(jnp.float32)
+        ur0, ui0 = fourier.rfft_ri(y, mode=mode)
         # initial nonlinear term from the real field (KSSetup.jl:140-141)
-        nn = self.g_op * fourier.rfft(y * y, mode=self.fft_mode)
-        f_hat = fourier.rfft(forcing.astype(jnp.float32), mode=self.fft_mode) * dt_os
+        n2r, n2i = fourier.rfft_ri(y * y, mode=mode)
+        nr0, ni0 = self._apply_g(n2r, n2i)
+        fr, fi = fourier.rfft_ri(forcing.astype(jnp.float32), mode=mode)
+        fr, fi = fr * dt_os, fi * dt_os
 
         def substep(carry, _):
-            u, nn = carry
-            nn1 = nn
-            ur = fourier.irfft(u, self.nx, mode=self.fft_mode)
-            nn = self.g_op * fourier.rfft(ur * ur, mode=self.fft_mode)
-            u = self.a_inv * (self.b_op * u + dt32 * nn - dt2 * nn1 + f_hat) + self.dist_hat
-            return (u, nn), None
+            ur, ui, nr, ni = carry
+            n1r, n1i = nr, ni
+            u_real = fourier.irfft_ri(ur, ui, self.nx, mode=mode)
+            sqr, sqi = fourier.rfft_ri(u_real * u_real, mode=mode)
+            nr, ni = self._apply_g(sqr, sqi)
+            ur = self.a_inv * (self.b_op * ur + dt32 * nr - dt2 * n1r + fr) + self.dist_re
+            ui = self.a_inv * (self.b_op * ui + dt32 * ni - dt2 * n1i + fi) + self.dist_im
+            return (ur, ui, nr, ni), None
 
-        (u, _), _ = jax.lax.scan(substep, (u, nn), None, length=self.oversampling)
-        return fourier.irfft(u, self.nx, mode=self.fft_mode)
+        (ur, ui, _, _), _ = jax.lax.scan(
+            substep, (ur0, ui0, nr0, ni0), None, length=self.oversampling
+        )
+        return fourier.irfft_ri(ur, ui, self.nx, mode=mode)

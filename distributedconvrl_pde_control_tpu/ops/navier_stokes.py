@@ -121,6 +121,72 @@ class NSSolver:
         w, _ = jax.lax.scan(sub, omghat, None, length=oversampling)
         return w
 
+
+    # ----------------------------------------------- real/imag split path
+    # Complex dtypes are emulated on TPU (and untransferable on some
+    # runtimes); production env configs keep the vorticity as a REAL field
+    # and run the spectral substeps on (re, im) float32 pairs.
+    def _advection_ri(self, wr, wi):
+        mode = self.fft_mode
+        pr, pi = self.inv_k2 * wr, self.inv_k2 * wi
+        # d/dx = i*kx, d/dy = i*ky: i*(a+ib) = (-b, a)
+        dxr, dxi = -self.kx_row * wi, self.kx_row * wr
+        dyr, dyi = -self.ky_col * wi, self.ky_col * wr
+        # vhat = -i*kx*psi, uhat = i*ky*psi
+        vr, vi = self.kx_row * pi, -self.kx_row * pr
+        ur, ui = -self.ky_col * pi, self.ky_col * pr
+
+        if self.dealias:
+            nxp, nyp = 3 * self.nx // 2, 3 * self.ny // 2
+
+            def pad_real(ar, ai):
+                return fourier.ifft2_ri_real(
+                    pad_32(ar, nyp, nxp), pad_32(ai, nyp, nxp), mode=mode
+                )
+
+            up = pad_real(ur, ui)
+            vp = pad_real(vr, vi)
+            dwdxp = pad_real(dxr, dxi)
+            dwdyp = pad_real(dyr, dyi)
+            tr, ti = fourier.fft2_ri(-up * dwdxp - vp * dwdyp, mode=mode)
+            return chop_32(tr, self.ny, self.nx) * 2.25, chop_32(ti, self.ny, self.nx) * 2.25
+        u = fourier.ifft2_ri_real(ur, ui, mode=mode)
+        v = fourier.ifft2_ri_real(vr, vi, mode=mode)
+        dwdx = fourier.ifft2_ri_real(dxr, dxi, mode=mode)
+        dwdy = fourier.ifft2_ri_real(dyr, dyi, mode=mode)
+        return fourier.fft2_ri(-u * dwdx - v * dwdy, mode=mode)
+
+    def _rhs_ri(self, wr, wi, fr, fi):
+        ar, ai = self._advection_ri(wr, wi)
+        return -self.nu * self.k2 * wr + ar + fr, -self.nu * self.k2 * wi + ai + fi
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def step_real(self, omg: jnp.ndarray, forcing: jnp.ndarray, dt, oversampling: int):
+        """One env step on a REAL vorticity field with real forcing.
+
+        Same scheme as `step` (RK4 x oversampling, fluid_rk4.jl:122-132) but
+        the spectrum is carried as float32 component pairs; one extra
+        transform pair per env step versus keeping spectral state — noise
+        against the ~5 transforms per RHS evaluation.
+        """
+        mode = self.fft_mode
+        dt_os = dt / oversampling
+        wr, wi = fourier.fft2_ri(omg.astype(jnp.float32), mode=mode)
+        fr, fi = fourier.fft2_ri(forcing.astype(jnp.float32), mode=mode)
+
+        def sub(c, _):
+            wr, wi = c
+            k1r, k1i = self._rhs_ri(wr, wi, fr, fi)
+            k2r, k2i = self._rhs_ri(wr + 0.5 * dt_os * k1r, wi + 0.5 * dt_os * k1i, fr, fi)
+            k3r, k3i = self._rhs_ri(wr + 0.5 * dt_os * k2r, wi + 0.5 * dt_os * k2i, fr, fi)
+            k4r, k4i = self._rhs_ri(wr + dt_os * k3r, wi + dt_os * k3i, fr, fi)
+            wr = wr + dt_os / 6.0 * (k1r + 2.0 * (k2r + k3r) + k4r)
+            wi = wi + dt_os / 6.0 * (k1i + 2.0 * (k2i + k3i) + k4i)
+            return (wr, wi), None
+
+        (wr, wi), _ = jax.lax.scan(sub, (wr, wi), None, length=oversampling)
+        return fourier.ifft2_ri_real(wr, wi, mode=mode)
+
     # ------------------------------------------------------------ diagnostics
     def omg2vel(self, omghat):
         """(u, v, omega, psi) in real space from spectral vorticity

@@ -81,11 +81,11 @@ def actor_policy(agent, actor_params, act_limit: float = 1.0):
 
 
 def energy_trace(y_trace: np.ndarray) -> np.ndarray:
-    """Fluid energy diagnostic sum(|omega|)/(nx*ny) per step from a spectral
-    vorticity trace (FluidSetup.jl:497-500)."""
+    """Fluid energy diagnostic sum(|omega|)/(nx*ny) per step
+    (FluidSetup.jl:497-500). Accepts real or spectral traces."""
     steps = y_trace.shape[0]
     n = y_trace.shape[-2] * y_trace.shape[-1]
-    omg = np.fft.ifft2(y_trace, axes=(-2, -1)).real
+    omg = np.fft.ifft2(y_trace, axes=(-2, -1)).real if np.iscomplexobj(y_trace) else y_trace
     return np.abs(omg.reshape(steps, -1)).sum(axis=1) / n
 
 
