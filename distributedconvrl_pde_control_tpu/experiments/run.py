@@ -1,0 +1,129 @@
+"""CLI driver for all shipped experiment presets.
+
+Train mode mirrors each reference script's `train(); save()`; eval mode
+mirrors `load(); plot_heat(...)` (KS-family, plotting.jl protocol: long
+horizon, actuation delayed to halfway) or `load(); testrun(use_best=true)`
+(fluid, energy vs baselines).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_setup(name: str):
+    from distributedconvrl_pde_control_tpu import configs as C
+
+    builders = {
+        "KS22": lambda: C.build_ks(C.KS22),
+        "KS200": lambda: C.build_ks(C.KS200),
+        "KS500": lambda: C.build_ks(C.KS500),
+        "KS200_disturbed": lambda: C.build_ks(C.KS200_DISTURBED),
+        "KS22_global": lambda: C.build_ks_global(C.KS22_GLOBAL),
+        "Fluid_8": lambda: C.build_fluid(C.FLUID_8),
+        "Fluid_16": lambda: C.build_fluid(C.FLUID_16),
+        "Fluid_32": lambda: C.build_fluid(C.FLUID_32),
+        "Fluid_8_eval": lambda: C.build_fluid(
+            __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
+        ),
+        "KellerSegel10_16": lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16),
+    }
+    if name not in builders:
+        raise SystemExit(f"unknown preset {name}; choose from {sorted(builders)}")
+    return builders[name]()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("preset")
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--train", action="store_true")
+    mode.add_argument("--eval", action="store_true")
+    mode.add_argument("--train-multi", action="store_true")
+    ap.add_argument("--loops", type=int, default=None)
+    ap.add_argument("--no-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--out", default=None, help="run directory (default runs/<preset>)")
+    ap.add_argument("--load-from", default=None,
+                    help="load a checkpoint from another run dir (zero-shot transfer)")
+    ap.add_argument("--p-te", type=float, default=200.0, help="eval horizon (plot_heat p_te)")
+    ap.add_argument("--p-t-action", type=float, default=100.0,
+                    help="eval actuation start time (plot_heat p_t_action)")
+    ap.add_argument("--video", action="store_true", help="render an mp4 of the eval rollout")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.drivers import train, train_multi
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, energy_trace, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+    from distributedconvrl_pde_control_tpu.viz import plotting
+
+    setup = build_setup(args.preset)
+    out_dir = args.out or os.path.join("runs", args.preset)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.train:
+        ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed)
+        checkpoint.save(out_dir, ts, hook)
+        plotting.plot_rewards_curve(hook.rewards, os.path.join(out_dir, "rewards.png"),
+                                    hook.bestepisode)
+        print(hook.ascii_curve())
+        print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} @ ep {hook.bestepisode}")
+        return
+
+    if args.train_multi:
+        best = train_multi(setup, n_experiments=2,
+                           save_fn=lambda n, ts, hook: checkpoint.save(out_dir, ts, hook, n))
+        print("best rewards per experiment:", best)
+        return
+
+    # ---- eval: load checkpoint, plot_heat / testrun protocol
+    load_dir = args.load_from or out_dir
+    ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(load_dir, ts_template)
+    actor = (
+        jax.tree.map(jnp.asarray, hook.best_actor) if hook.best_actor is not None else ts.agent.actor
+    )
+    policy = actor_policy(setup.agent, actor)
+    traces = rollout(setup.env, policy, te=args.p_te, t_action=args.p_t_action)
+
+    is_fluid = args.preset.startswith("Fluid")
+    if is_fluid:
+        energies = {"trained": energy_trace(traces["y"])}
+        from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
+
+        neg = NegatePolicy(setup.env.action_shape, center_row=setup.agent.cfg.ns // 2)
+        energies["negate"] = energy_trace(
+            rollout(setup.env, neg, te=args.p_te, t_action=args.p_t_action)["y"]
+        )
+        zero = ZeroPolicy(setup.env.action_shape)
+        energies["no action"] = energy_trace(rollout(setup.env, zero, te=args.p_te)["y"])
+        plotting.plot_energy(energies, os.path.join(out_dir, "energy.png"))
+        print({k: float(np.mean(v)) for k, v in energies.items()})
+    else:
+        plotting.plot_heat(traces, os.path.join(out_dir, "heat.png"), title=args.preset)
+        plotting.plot_sums(traces, os.path.join(out_dir, "sums.png"))
+        plotting.plot_actions(traces, os.path.join(out_dir, "actions.png"))
+        n_steps = traces["y"].shape[0]
+        act_start = int(round(args.p_t_action / setup.env.dt))
+        pre = float(np.abs(traces["y"][max(0, act_start - 100):act_start]).mean())
+        post = float(np.abs(traces["y"][-max(1, n_steps // 10):]).mean())
+        print(json.dumps({"pre_control_mean_abs_y": pre, "post_control_mean_abs_y": post,
+                          "suppression": post / pre if pre else None}))
+    if args.video:
+        out = plotting.render_animation(traces, out_dir)
+        print("video:", out)
+
+
+if __name__ == "__main__":
+    main()
