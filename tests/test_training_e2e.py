@@ -51,3 +51,42 @@ def test_episode_counting_and_completion(trained):
     assert hook.ep - 1 == len(hook.rewards)
     assert hook.bestepisode > 0
     assert hook.best_actor is not None
+
+
+def test_zero_shot_transfer_to_larger_domain(trained):
+    """The KS500 protocol (KS500.jl:21-24) at test scale: the KS22-trained
+    actor runs unchanged on a 3x larger domain with the same sensor spacing
+    and still suppresses the chaos."""
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+
+    setup, ts, hook = trained
+    big = dataclasses.replace(KS22, name="KS66", lx=66.0, nx=576, n_actuators=24)
+    setup_big = build_ks(big)
+    policy = actor_policy(setup_big.agent,
+                          jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup_big.env, policy, te=100.0, t_action=50.0)
+    y = traces["y"]
+    pre = np.abs(y[400:500]).mean()
+    post = np.abs(y[900:1000]).mean()
+    assert post < 0.5 * pre, (pre, post)
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    setup, ts, hook = trained
+    checkpoint.save(str(tmp_path), ts, hook)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts2, hook2 = checkpoint.load(str(tmp_path), template)
+    for a, b in zip(ts.agent.actor, ts2.agent.actor):
+        assert np.allclose(np.asarray(a["w"]), np.asarray(b["w"]))
+    assert hook2.bestreward == hook.bestreward
+    assert hook2.rewards == [float(r) for r in hook.rewards]
+    assert np.allclose(np.asarray(hook2.best_actor[0]["w"]),
+                       np.asarray(hook.best_actor[0]["w"]))
+    # numbered saves (train_multi protocol, KSSetup.jl:354-356)
+    checkpoint.save(str(tmp_path), ts, hook, number=3)
+    ts3, _ = checkpoint.load(str(tmp_path), template, number=3)
+    assert np.allclose(np.asarray(ts3.agent.critic[0]["w"]),
+                       np.asarray(ts.agent.critic[0]["w"]))
