@@ -1,0 +1,61 @@
+"""Fluid-family integration test at reduced scale.
+
+The full Fluid_8 config (128^2 grid, 40 RK4 substeps) is too heavy for unit
+tests; a 32^2 / 4x4-lattice variant exercises the identical code path:
+real-state spectral solver, Taylor-vortex kernels, 2D window featurization,
+reward-blow-up termination, DDPG learning, energy evaluation.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from distributedconvrl_pde_control_tpu.configs import FLUID_8
+from distributedconvrl_pde_control_tpu.configs.fluid import build_fluid
+
+
+@pytest.fixture(scope="module")
+def small_fluid():
+    cfg = dataclasses.replace(
+        FLUID_8, name="Fluid_tiny", nx=32, sensors_per_axis=4, variance=0.08,
+        te=0.6, dt=0.02, capacity=30_000, start_steps=3, update_after=3,
+        update_loops=2, loops=2, no_steps=60,
+    )
+    return build_fluid(cfg)
+
+
+def test_fluid_training_learns_and_stays_finite(small_fluid):
+    from distributedconvrl_pde_control_tpu.train.drivers import train
+
+    ts, hook = train(small_fluid, verbose=False)
+    assert len(hook.rewards) >= 4
+    assert all(np.isfinite(hook.rewards))
+    assert hook.best_actor is not None or all(r < 0 for r in hook.rewards)
+
+
+def test_fluid_energy_eval_baselines(small_fluid):
+    from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
+    from distributedconvrl_pde_control_tpu.train.eval import energy_eval
+
+    env = small_fluid.env
+    zero = ZeroPolicy(env.action_shape)
+    res0 = energy_eval(env, zero, te=0.6)
+    assert res0["energy"].shape[0] == env.max_steps
+    assert np.isfinite(res0["energy"]).all()
+
+    neg = NegatePolicy(env.action_shape, center_row=small_fluid.agent.cfg.ns // 2)
+    resn = energy_eval(env, neg, te=0.6)
+    assert np.isfinite(resn["energy"]).all()
+
+
+def test_fluid_reward_blowup_terminates(small_fluid):
+    import jax.numpy as jnp
+
+    env = small_fluid.env
+    st = env.reset()
+    # inflate the field so sensor dots push |reward| past max_value=3
+    st = st.replace(y=st.y * 1e4)
+    st2 = env.step(st, jnp.zeros(env.action_shape, jnp.float32))
+    assert bool(st2.done)
