@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 import time
+
+import numpy as np
 from typing import Callable, Optional
 
 import jax
@@ -148,3 +150,41 @@ def train_multi(setup: Setup, no_episodes: int = 2800, n_experiments: int = 2,
         if verbose:
             print(f"--------- BEST REWARD: {hook.bestreward} ---------")
     return best_rewards
+
+
+def run_episodes(setup: Setup, n_episodes: int, ts: Optional[TrainState] = None,
+                 hook: Optional[PDEHook] = None, key=None, episode_fn=None):
+    """`run(agent, env, StopAfterEpisode(n), hook)` — plain episode-count
+    stop condition (used by train_multi and the hyperopt objective)."""
+    if episode_fn is None:
+        episode_fn = make_episode_fn(setup.env, setup.agent, learning=True, record=setup.record)
+    key = key if key is not None else jax.random.PRNGKey(setup.seed)
+    if ts is None:
+        key, k_init = jax.random.split(key)
+        ts = init_train_state(setup.env, setup.agent, k_init)
+    if hook is None:
+        hook = setup.make_hook()
+    for _ in range(n_episodes):
+        key, k0 = jax.random.split(key)
+        y0 = (
+            setup.random_init(k0)
+            if (setup.use_random_init and setup.random_init)
+            else jnp.asarray(setup.env.y0)
+        )
+        ts, result = episode_fn(ts, y0)
+        hook.on_episode(result, ts.agent)
+    return ts, hook, key
+
+
+def hyperopt_objective(setup: Setup, n_episodes: int = 100) -> float:
+    """The `test_setup` hyperparameter-search objective
+    (KSglobalSetup.jl:405-426): run `n_episodes` with a fixed seed, return
+    cost = -mean(tail rewards) - sum over tail of (r > -0.1) * (r + 0.1).
+
+    Lower is better; the second term credits episodes that reach near-zero
+    reward. Build `setup` with the candidate hyperparameters (the reference
+    threads them through initialize_setup's positional args)."""
+    _, hook, _ = run_episodes(setup, n_episodes)
+    tail = np.asarray(hook.rewards[-max(1, int(n_episodes * 0.5)) :], dtype=np.float64)
+    bonus = np.sum((tail > -0.1) * (tail + 0.1))
+    return float(-tail.mean() - bonus)
