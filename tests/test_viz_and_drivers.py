@@ -1,0 +1,72 @@
+"""Viz suite + driver protocol tests."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from distributedconvrl_pde_control_tpu.configs import KS22, build_ks
+from distributedconvrl_pde_control_tpu.viz import plotting
+
+
+@pytest.fixture(scope="module")
+def short_traces():
+    from distributedconvrl_pde_control_tpu.agents.policies import ZeroPolicy
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    setup = build_ks(KS22)
+    return rollout(setup.env, ZeroPolicy(setup.env.action_shape), te=3.0)
+
+
+def test_plot_functions_write_files(short_traces, tmp_path):
+    plotting.plot_heat(short_traces, str(tmp_path / "heat.png"))
+    plotting.plot_sums(short_traces, str(tmp_path / "sums.png"))
+    plotting.plot_actions(short_traces, str(tmp_path / "actions.png"))
+    plotting.plot_rewards_curve([-3.0, -2.0, -1.0], str(tmp_path / "curve.png"), bestepisode=3)
+    from distributedconvrl_pde_control_tpu.envs.features import gaussian_kernels_1d
+
+    k = gaussian_kernels_1d([1, 25], 192, 22.0, 0.7)
+    plotting.plot_sensors(k, str(tmp_path / "kernels.png"))
+    plotting.plot_reward_landscape(lambda y, a: -(y**2) - 0.1 * a**2, (-2, 2), (-1, 1),
+                                   n=11, path=str(tmp_path / "landscape.png"))
+    for f in ["heat.png", "sums.png", "actions.png", "curve.png", "kernels.png",
+              "landscape.png"]:
+        assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_render_animation_frames(short_traces, tmp_path):
+    sub = {k: (v[:5] if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) >= 5 else v)
+           for k, v in short_traces.items()}
+    out = plotting.render_animation(sub, str(tmp_path))
+    frames = os.listdir(tmp_path / "frames")
+    assert len(frames) == 5
+    # ffmpeg availability optional; mp4 produced when present
+    if out is not None:
+        assert os.path.getsize(out) > 0
+
+
+def test_train_multi_runs_and_saves(tmp_path):
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.drivers import train_multi
+
+    setup = build_ks(KS22)
+    saved = []
+    best = train_multi(
+        setup, no_episodes=4, n_experiments=2, inner_episodes=2, inner_loops=2,
+        save_fn=lambda n, ts, hook: (checkpoint.save(str(tmp_path), ts, hook, n),
+                                     saved.append(n)),
+        verbose=False,
+    )
+    assert len(best) == 2 and all(np.isfinite(best))
+    assert saved == [1, 2]
+    assert (tmp_path / "saves" / "agent1.msgpack").exists()
+
+
+def test_hyperopt_objective_runs():
+    from distributedconvrl_pde_control_tpu.train.drivers import hyperopt_objective
+
+    setup = build_ks(KS22)
+    cost = hyperopt_objective(setup, n_episodes=4)
+    assert np.isfinite(cost)
