@@ -16,13 +16,21 @@ vs_baseline >= 1.0 means the north-star throughput target is met.
 """
 
 import json
+import os
 import time
 
 import jax
 
-N_ENVS = 256
-CHUNK = 100
-TIMED_ROUNDS = 3
+# rbg PRNG + the persistent compilation cache keep (re)compiles tractable on
+# the axon TPU runtime, whose remote compiler is slow on large programs and
+# pathological on the counter-based threefry expansion.
+jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+N_ENVS = 4096
+CHUNK = 50
+TIMED_ROUNDS = 5
 BASELINE_STEPS_PER_SEC = 30_000.0
 
 
@@ -38,7 +46,7 @@ def main():
     trainer = BatchedTrainer(
         setup.env,
         setup.agent,
-        BatchedTrainerConfig(n_envs=N_ENVS, batch_size=256, update_loops=1),
+        BatchedTrainerConfig(n_envs=N_ENVS, batch_size=2048, update_loops=1),
         random_init=ks_random_init(KS22),
     )
     ts = trainer.init(jax.random.PRNGKey(0))

@@ -61,6 +61,15 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() in ("tpu", "axon"):
+        # cheap-to-compile counter RNG + persistent compile cache: the axon
+        # remote compiler is slow on big programs and pathological on the
+        # threefry expansion (see bench.py)
+        jax.config.update("jax_default_prng_impl", "rbg")
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from distributedconvrl_pde_control_tpu.train import checkpoint
     from distributedconvrl_pde_control_tpu.train.drivers import train, train_multi

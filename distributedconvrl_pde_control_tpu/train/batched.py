@@ -179,3 +179,33 @@ class BatchedTrainer:
             return ts, rewards
 
         return jax.jit(chunk, donate_argnums=0)
+
+
+def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
+                  noise_decay_every: int = 0, noise_decay: float = 0.5,
+                  chunk_len: int = 50, verbose: bool = False):
+    """Throughput-mode training driver: run `total_steps` fused steps in
+    chunks, optionally decaying the exploration noise every
+    `noise_decay_every` steps (the batched analogue of the reference's
+    per-loop `act_noise *= 0.2`, KSSetup.jl:315).
+
+    Returns (state, mean rewards per chunk).
+    """
+    import numpy as _np
+
+    ts = trainer.init(key if key is not None else jax.random.PRNGKey(0))
+    chunk_fn = trainer.make_chunk_fn(chunk_len)
+    chunk_means = []
+    steps_done = 0
+    next_decay = noise_decay_every if noise_decay_every else None
+    while steps_done < total_steps:
+        ts, rewards = chunk_fn(ts)
+        chunk_means.append(float(jnp.mean(rewards)))
+        steps_done += chunk_len
+        if next_decay is not None and steps_done >= next_decay:
+            ts = ts.replace(agent=ts.agent.replace(act_noise=ts.agent.act_noise * noise_decay))
+            next_decay += noise_decay_every
+        if verbose:
+            print(f"steps {steps_done}: mean reward {chunk_means[-1]:.4f} "
+                  f"noise {float(ts.agent.act_noise):.4f}")
+    return ts, _np.asarray(chunk_means)
