@@ -1,0 +1,35 @@
+"""Experiment CLI smoke tests (train -> eval round trip on CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, cwd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "distributedconvrl_pde_control_tpu.experiments.run", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
+    )
+
+
+@pytest.mark.slow
+def test_cli_train_then_eval(tmp_path):
+    out = str(tmp_path / "run")
+    r = run_cli("KS22", "--train", "--cpu", "--loops", "3", "--no-steps", "200",
+                "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "saves", "agent.msgpack"))
+    assert os.path.exists(os.path.join(out, "rewards.png"))
+
+    r = run_cli("KS22", "--eval", "--cpu", "--out", out, "--p-te", "30",
+                "--p-t-action", "15", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["pre_control_mean_abs_y"] > 0
+    assert os.path.exists(os.path.join(out, "heat.png"))
