@@ -38,3 +38,39 @@ def difft2(w_block: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     x = jax.lax.all_to_all(x, axis_name, split_axis=x.ndim - 2,
                            concat_axis=x.ndim - 1, tiled=True)
     return fourier.ifft(x, axis=-1)
+
+
+# --------------------------------------------------------- (re, im) variants
+# Real-TPU runtimes handle complex poorly (see ops.fourier); the sharded
+# solvers therefore use split-component transforms: local DFTs via
+# ops.fourier (backend-adaptive), one all_to_all per transpose with the two
+# components stacked on a leading axis.
+from distributedconvrl_pde_control_tpu.ops import fourier  # noqa: E402
+
+
+def _transpose_ri(xr, xi, axis_name, split_axis, concat_axis):
+    z = jnp.stack([xr, xi])
+    z = jax.lax.all_to_all(z, axis_name, split_axis=split_axis + 1,
+                           concat_axis=concat_axis + 1, tiled=True)
+    return z[0], z[1]
+
+
+def dfft2_ri(xr, xi, axis_name: str, mode: str = "auto"):
+    """y-pencil (re, im) blocks (.., ny/S, nx) -> x-pencil spectra (.., ny, nx/S)."""
+    if xi is None:
+        xi = jnp.zeros_like(xr)
+    xr, xi = fourier._fft_ri_axis(xr, xi, -1, -1.0, mode)
+    xr, xi = _transpose_ri(xr, xi, axis_name, xr.ndim - 1, xr.ndim - 2)
+    return fourier._fft_ri_axis(xr, xi, -2, -1.0, mode)
+
+
+def difft2_ri(wr, wi, axis_name: str, mode: str = "auto"):
+    """x-pencil spectra -> y-pencil (re, im) field blocks."""
+    wr, wi = fourier._fft_ri_axis(wr, wi, -2, 1.0, mode)
+    wr, wi = _transpose_ri(wr, wi, axis_name, wr.ndim - 2, wr.ndim - 1)
+    return fourier._fft_ri_axis(wr, wi, -1, 1.0, mode)
+
+
+def difft2_ri_real(wr, wi, axis_name: str, mode: str = "auto"):
+    re, _ = difft2_ri(wr, wi, axis_name, mode)
+    return re

@@ -37,9 +37,8 @@ from distributedconvrl_pde_control_tpu.agents.replay import (
 )
 from distributedconvrl_pde_control_tpu.envs.features import _window_stack_2d, taylor_kernels_2d
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import initial_condition
-from distributedconvrl_pde_control_tpu.parallel.dfft import dfft2, difft2
 from distributedconvrl_pde_control_tpu.parallel.ns_sharded import (
-    NSShardedSolver,
+    NSShardedSolverRI,
     ShardedOps,
     make_sharded_ops,
 )
@@ -49,7 +48,7 @@ from distributedconvrl_pde_control_tpu.parallel.ns_sharded import (
 class MCState:
     """Global (pre-shard_map) training state."""
 
-    w: jnp.ndarray  # (B, ny, nx) complex64 — x-pencil spectral vorticity
+    w: jnp.ndarray  # (B, ny, nx) float32 — REAL vorticity, y-pencil sharded
     obs: jnp.ndarray  # (B, ns, n_act)
     action: jnp.ndarray  # (B, na_rows, n_act)
     steps: jnp.ndarray  # (B,) int32
@@ -107,7 +106,7 @@ class MultichipFluidTrainer:
         self.n_sp = mesh.shape["sp"]
         assert cfg.nx % self.n_sp == 0, "grid must divide over sp"
         assert cfg.n_envs % self.n_dp == 0, "env batch must divide over dp"
-        self.solver = NSShardedSolver(nu=cfg.nu, sp_axis="sp")
+        self.solver = NSShardedSolverRI(nu=cfg.nu, sp_axis="sp")
         self.ops = make_sharded_ops(cfg.nx, cfg.nx, cfg.lx, cfg.lx)
 
         n = cfg.nx
@@ -128,7 +127,7 @@ class MultichipFluidTrainer:
         ))
 
         self._specs = dict(
-            w=P("dp", None, "sp"),
+            w=P("dp", "sp", None),  # y-pencil: rows sharded over sp
             obs=P("dp"),
             action=P("dp"),
             steps=P("dp"),
@@ -144,9 +143,8 @@ class MultichipFluidTrainer:
     def _sensor_dots(self, w_local, sens_local):
         """Per-env sensor inner products with psum over sp.
 
-        w_local: (Bl, ny, nxl) spectra -> (Bl, n_act) global dot products."""
-        y = difft2(w_local, "sp").real  # (Bl, nyl, nx)
-        flat = y.reshape(y.shape[0], -1)
+        w_local: (Bl, ny/S, nx) real y-pencil blocks -> (Bl, n_act) dots."""
+        flat = w_local.reshape(w_local.shape[0], -1)
         partial_dots = flat @ sens_local.reshape(self.cfg.n_act, -1).T
         return jax.lax.psum(partial_dots, "sp")
 
@@ -161,8 +159,9 @@ class MultichipFluidTrainer:
         cfg = self.cfg
         rng = np.random.default_rng(seed)
         w0 = np.stack([
-            initial_condition(3, cfg.nx, cfg.nx, cfg.lx, cfg.lx, rng) for _ in range(cfg.n_envs)
-        ]).astype(np.complex64)
+            np.fft.ifft2(initial_condition(3, cfg.nx, cfg.nx, cfg.lx, cfg.lx, rng)).real
+            for _ in range(cfg.n_envs)
+        ]).astype(np.float32)
         k_agent, k_run = jax.random.split(key)
         astate = self.agent.init_state(k_agent)
         replay1 = replay_init(cfg.capacity_per_dp, cfg.ns, 1)
@@ -171,7 +170,7 @@ class MultichipFluidTrainer:
         )
         # initial observations from the initial fields (computed unsharded —
         # init is host-side one-off)
-        y0r = np.fft.ifft2(w0).real.reshape(cfg.n_envs, -1)
+        y0r = w0.reshape(cfg.n_envs, -1)
         dots = y0r @ np.asarray(self.sensor_kernels).reshape(cfg.n_act, -1).T
         obs0 = np.stack([
             np.asarray(_window_stack_2d(jnp.asarray(
@@ -217,10 +216,9 @@ class MultichipFluidTrainer:
             f_real = cfg.agent_power * jnp.einsum(
                 "bn,nyx->byx", actions[:, 0, :], akern
             )
-            f_hat = dfft2(f_real, "sp")
 
-            # ---- solver
-            w_new = solver.step(state.w, f_hat, ops, cfg.dt, cfg.oversampling)
+            # ---- solver (split-component transpose-FFT RK4)
+            w_new = solver.step_real(state.w, f_real, ops, cfg.dt, cfg.oversampling)
 
             # ---- sensors, obs, reward
             dots = self._sensor_dots(w_new, sens)  # (Bl, n_act)
@@ -302,7 +300,7 @@ class MultichipFluidTrainer:
             local_step,
             mesh=self.mesh,
             in_specs=(state_specs, ops_specs, self._kern_spec, self._kern_spec,
-                      P("dp", None, "sp")),
+                      P("dp", "sp", None)),
             out_specs=state_specs,
             check_vma=False,
         )

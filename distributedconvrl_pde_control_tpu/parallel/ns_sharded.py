@@ -98,3 +98,65 @@ class NSShardedSolver:
 
         w, _ = jax.lax.scan(sub, w, None, length=oversampling)
         return w
+
+
+@dataclasses.dataclass(frozen=True)
+class NSShardedSolverRI:
+    """Complex-free sharded solver: same scheme as NSShardedSolver but on
+    (re, im) float32 component pairs with split-component transpose FFTs —
+    the variant that runs on TPU runtimes without complex support
+    (see ops.fourier docstring)."""
+
+    nu: float
+    sp_axis: str
+    fft_mode: str = "auto"
+
+    def _advection_ri(self, wr, wi, ops: ShardedOps):
+        from distributedconvrl_pde_control_tpu.parallel.dfft import (
+            dfft2_ri,
+            difft2_ri_real,
+        )
+
+        pr, pi = ops.inv_k2 * wr, ops.inv_k2 * wi
+        dxr, dxi = -ops.kx * wi, ops.kx * wr
+        dyr, dyi = -ops.ky * wi, ops.ky * wr
+        vr, vi = ops.kx * pi, -ops.kx * pr
+        ur, ui = -ops.ky * pi, ops.ky * pr
+        u = difft2_ri_real(ur, ui, self.sp_axis, self.fft_mode)
+        v = difft2_ri_real(vr, vi, self.sp_axis, self.fft_mode)
+        dwdx = difft2_ri_real(dxr, dxi, self.sp_axis, self.fft_mode)
+        dwdy = difft2_ri_real(dyr, dyi, self.sp_axis, self.fft_mode)
+        nr, ni = dfft2_ri(-u * dwdx - v * dwdy, None, self.sp_axis, self.fft_mode)
+        return nr * ops.mask23, ni * ops.mask23
+
+    def _rhs_ri(self, wr, wi, fr, fi, ops):
+        ar, ai = self._advection_ri(wr, wi, ops)
+        return -self.nu * ops.k2 * wr + ar + fr, -self.nu * ops.k2 * wi + ai + fi
+
+    def step_real(self, omg_local, forcing_local, ops: ShardedOps, dt, oversampling: int):
+        """REAL y-pencil field block -> advanced real block.
+
+        omg_local/forcing_local: (..., ny/S, nx)."""
+        import jax
+
+        from distributedconvrl_pde_control_tpu.parallel.dfft import (
+            dfft2_ri,
+            difft2_ri_real,
+        )
+
+        dt_os = dt / oversampling
+        wr, wi = dfft2_ri(omg_local, None, self.sp_axis, self.fft_mode)
+        fr, fi = dfft2_ri(forcing_local, None, self.sp_axis, self.fft_mode)
+
+        def sub(c, _):
+            wr, wi = c
+            k1r, k1i = self._rhs_ri(wr, wi, fr, fi, ops)
+            k2r, k2i = self._rhs_ri(wr + 0.5 * dt_os * k1r, wi + 0.5 * dt_os * k1i, fr, fi, ops)
+            k3r, k3i = self._rhs_ri(wr + 0.5 * dt_os * k2r, wi + 0.5 * dt_os * k2i, fr, fi, ops)
+            k4r, k4i = self._rhs_ri(wr + dt_os * k3r, wi + dt_os * k3i, fr, fi, ops)
+            wr = wr + dt_os / 6.0 * (k1r + 2.0 * (k2r + k3r) + k4r)
+            wi = wi + dt_os / 6.0 * (k1i + 2.0 * (k2i + k3i) + k4i)
+            return (wr, wi), None
+
+        (wr, wi), _ = jax.lax.scan(sub, (wr, wi), None, length=oversampling)
+        return difft2_ri_real(wr, wi, self.sp_axis, self.fft_mode)
