@@ -192,3 +192,26 @@ def render_animation(traces: dict, out_dir: str, fps: int = 16,
         check=True, capture_output=True,
     )
     return out_path
+
+
+def plot_waterfall(traces: dict, path: Optional[str] = None, stride: int = 10,
+                   max_lines: int = 60):
+    """3D waterfall of a 1D field's evolution — the `plotrun(plot3D=true)`
+    view (plotting.jl:306-521)."""
+    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+
+    y = _as_real_field(np.asarray(traces["y"]))
+    if y.ndim == 3 and y.shape[1] == 2:
+        y = y[:, 0]
+    idx = np.arange(0, len(y), stride)[:max_lines]
+    fig = plt.figure(figsize=(9, 6))
+    ax = fig.add_subplot(projection="3d")
+    x = np.arange(y.shape[-1])
+    for rank, i in enumerate(idx):
+        ax.plot(x, np.full_like(x, float(i), dtype=float), y[i], lw=0.8,
+                color=plt.cm.viridis(rank / max(len(idx) - 1, 1)))
+    ax.set_xlabel("x")
+    ax.set_ylabel("step")
+    ax.set_zlabel("y")
+    ax.set_title("field evolution")
+    return _finish(fig, path)
