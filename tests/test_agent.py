@@ -131,3 +131,17 @@ def test_actor_shared_weights_translation_invariance():
     out = agent.actor_apply(astate.actor, obs)
     out_perm = agent.actor_apply(astate.actor, obs[:, perm])
     assert np.allclose(np.asarray(out)[:, perm], np.asarray(out_perm), atol=1e-6)
+
+
+def test_negate_policy_modes():
+    from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy
+
+    obs = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4) / 20.0)
+    pol = NegatePolicy(action_shape=(1, 4), center_row=1)
+    act = np.asarray(pol(obs))
+    assert np.allclose(act, -np.asarray(obs)[1].reshape(1, 4))
+    # faithful mode: Julia column-major linear walk (FluidSetup.jl:292-295)
+    pol_f = NegatePolicy(action_shape=(1, 4), center_row=1, faithful=True)
+    act_f = np.asarray(pol_f(obs))
+    want = -np.asarray(obs).T.reshape(-1)[:4].reshape(4, 1).T
+    assert np.allclose(act_f, want)

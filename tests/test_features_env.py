@@ -131,3 +131,20 @@ def test_zero_shot_transfer_obs_dim_invariance():
     obs500 = s500.env.reset().obs
     out = s500.agent.actor_apply(astate.actor, obs500)
     assert out.shape == (1, 200)
+
+
+def test_two_field_sees_action():
+    from distributedconvrl_pde_control_tpu.envs.features import TwoFieldFeaturizer
+
+    sm = jnp.asarray(np.eye(3, 10, dtype=np.float32))
+    f = TwoFieldFeaturizer(sensor_matrix=sm, actuators_to_sensors=np.arange(3),
+                           scale=1.0, window_size=1, temporal_steps=2,
+                           sees_action=True, action_rows=1)
+    y = jnp.asarray(np.random.default_rng(0).standard_normal((2, 10)), jnp.float32)
+    obs0 = f(y)
+    # base = 2 field rows + 1 action row, then x2 temporal
+    assert obs0.shape == (6, 3)
+    assert np.allclose(np.asarray(obs0)[2], 0.0)  # zero action at init
+    action = jnp.asarray([[0.3, -0.3, 0.1]])
+    obs1 = f(y, obs0, action)
+    assert np.allclose(np.asarray(obs1)[2], [0.3, -0.3, 0.1])
