@@ -9,8 +9,6 @@ KS22_global-agent.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ DFT matrices are cached per length and embedded as jit constants.
 
 from __future__ import annotations
 
-import math
 import os
 from functools import lru_cache
 

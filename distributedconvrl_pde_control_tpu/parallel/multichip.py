@@ -20,7 +20,6 @@ steps, episode auto-reset — is one jitted SPMD program.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
 from distributedconvrl_pde_control_tpu.agents.replay import (
     Replay,
     replay_init,
-    replay_push_columns,
     replay_sample,
 )
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
-from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.utils.hostarray import to_numpy
 
 

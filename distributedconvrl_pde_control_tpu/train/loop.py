@@ -18,7 +18,6 @@ Episode end: update_step reset when reset_stage == "post_episode" (:215-224).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
