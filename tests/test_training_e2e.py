@@ -90,3 +90,27 @@ def test_checkpoint_roundtrip(trained, tmp_path):
     ts3, _ = checkpoint.load(str(tmp_path), template, number=3)
     assert np.allclose(np.asarray(ts3.agent.critic[0]["w"]),
                        np.asarray(ts.agent.critic[0]["w"]))
+
+
+def test_shipped_artifact_stabilizes():
+    """The committed pretrained KS22 checkpoint must reproduce stabilization
+    (the reference's `evaluation = true` flow with shipped saves)."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22")
+    if not os.path.exists(os.path.join(art, "saves", "agent.msgpack")):
+        pytest.skip("artifacts not present")
+    setup = build_ks(KS22)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.2 * pre, (pre, post)
