@@ -114,3 +114,16 @@ def test_shipped_artifact_stabilizes():
     pre = np.abs(y[200:300]).mean()
     post = np.abs(y[-60:]).mean()
     assert post < 0.2 * pre, (pre, post)
+
+
+def test_training_is_deterministic_given_seed():
+    """Same seed -> bitwise-identical training trajectory (StableRNG parity,
+    SURVEY.md §4 determinism hooks)."""
+    from distributedconvrl_pde_control_tpu.train.drivers import train
+
+    setup = build_ks(KS22)
+    _, hook_a = train(setup, loops=1, no_steps=100, verbose=False, seed=7)
+    _, hook_b = train(setup, loops=1, no_steps=100, verbose=False, seed=7)
+    assert hook_a.rewards == hook_b.rewards
+    _, hook_c = train(setup, loops=1, no_steps=100, verbose=False, seed=8)
+    assert hook_a.rewards != hook_c.rewards
