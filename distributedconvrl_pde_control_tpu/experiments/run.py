@@ -56,6 +56,9 @@ def main(argv=None):
     ap.add_argument("--p-t-action", type=float, default=100.0,
                     help="eval actuation start time (plot_heat p_t_action)")
     ap.add_argument("--video", action="store_true", help="render an mp4 of the eval rollout")
+    ap.add_argument("--plot-best", action="store_true",
+                    help="render the stored best-episode trace instead of a fresh "
+                         "rollout (plot_heat(plot_best=true), plotting.jl)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -103,6 +106,14 @@ def main(argv=None):
     actor = (
         jax.tree.map(jnp.asarray, hook.best_actor) if hook.best_actor is not None else ts.agent.actor
     )
+    if args.plot_best:
+        if hook.best_trace is None:
+            raise SystemExit("checkpoint has no stored best-episode trace")
+        plotting.plot_heat(hook.best_trace, os.path.join(out_dir, "heat_best.png"),
+                           title=f"{args.preset} best episode")
+        print(f"rendered stored best episode (ep {hook.bestepisode}, "
+              f"reward {hook.bestreward:.4f}) -> {out_dir}/heat_best.png")
+        return
     policy = actor_policy(setup.agent, actor)
     traces = rollout(setup.env, policy, te=args.p_te, t_action=args.p_t_action)
 
