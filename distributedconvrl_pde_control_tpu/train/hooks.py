@@ -65,8 +65,7 @@ class PDEHook:
                     self.best_trace = trace
 
         if not completed and self.error_detection is not None:
-            y_final = np.asarray(result.y_trace)[int(result.steps) - 1] if trace else None
-            if y_final is not None and self.error_detection(y_final):
+            if self.error_detection(to_numpy(result.final_y)):
                 self.errored_episodes.append(self.ep)
 
         if self.collect_history:

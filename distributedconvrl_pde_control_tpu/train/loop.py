@@ -50,6 +50,9 @@ class EpisodeResult:
     step_rewards: jnp.ndarray  # (max_steps,) masked mean rewards
     actor_loss: jnp.ndarray
     critic_loss: jnp.ndarray
+    final_y: jnp.ndarray  # terminal field (error detection reads env.y
+    # directly in the reference, PDEhook.jl:78-82 — independent of trace
+    # recording)
     # trace block (zeros when record=False)
     y_trace: jnp.ndarray
     action_trace: jnp.ndarray
@@ -151,6 +154,7 @@ def make_episode_fn(env: PDEEnv, agent: DDPGAgent, learning: bool = True, record
             step_rewards=outs["reward_mean"],
             actor_loss=astate.actor_loss,
             critic_loss=astate.critic_loss,
+            final_y=estate.y,
             y_trace=outs["y"] if record else zero,
             action_trace=outs["action"] if record else zero,
             forcing_trace=outs["forcing"] if record else zero,

@@ -59,3 +59,30 @@ def test_fluid_reward_blowup_terminates(small_fluid):
     st = st.replace(y=st.y * 1e4)
     st2 = env.step(st, jnp.zeros(env.action_shape, jnp.float32))
     assert bool(st2.done)
+
+
+def test_error_detection_flags_corrupted_episode(small_fluid):
+    """Blow-up episodes run the corrupted-field detector on the terminal
+    field (PDEhook.jl:78-82 reads env.y directly)."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+    from distributedconvrl_pde_control_tpu.train.loop import EpisodeResult
+
+    calls = []
+
+    def detector(y):
+        calls.append(y.shape)
+        return True
+
+    hook = PDEHook(min_best_episode=1, collect_best_trace=False, error_detection=detector)
+    zero = jnp.zeros(())
+    result = EpisodeResult(
+        reward_sum=jnp.asarray(-5.0), steps=jnp.asarray(3), completed=jnp.asarray(False),
+        step_rewards=zero, actor_loss=zero, critic_loss=zero,
+        final_y=jnp.ones((8, 8)), y_trace=zero, action_trace=zero,
+        forcing_trace=zero, reward_trace=zero,
+    )
+    hook.on_episode(result, small_fluid.agent.init_state(__import__("jax").random.PRNGKey(0)))
+    assert hook.errored_episodes == [1]
+    assert calls == [(8, 8)]
