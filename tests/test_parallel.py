@@ -192,3 +192,22 @@ def test_sharded_ri_matches_single_chip_real_path():
     want = np.fft.ifft2(w).real
 
     assert np.allclose(got, want, atol=5e-3), np.abs(got - want).max()
+
+
+@pytest.mark.slow
+def test_multichip_compiles_at_production_grid():
+    """One DP x SP step at a production-scale grid (256^2) on the virtual
+    mesh — validates shard layouts and memory at size, not physics."""
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        MultichipFluidConfig,
+        MultichipFluidTrainer,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = MultichipFluidConfig(nx=256, sensors_per_axis=8, n_envs=2, oversampling=1,
+                               batch_size=8, capacity_per_dp=2048)
+    tr = MultichipFluidTrainer(cfg, mesh)
+    state = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_step()
+    s1 = step(state, state.w)
+    assert np.isfinite(float(s1.mean_reward))
