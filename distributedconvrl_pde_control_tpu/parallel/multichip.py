@@ -255,7 +255,7 @@ class MultichipFluidTrainer:
 
             def do_learn(a):
                 def one(a, k):
-                    batch = replay_sample(rb, k, cfg.batch_size, n_push)
+                    batch = replay_sample(rb, k, cfg.batch_size, 0)
                     return agent.learn_batch(a, batch, axis_name="dp"), None
 
                 a, _ = jax.lax.scan(

@@ -115,7 +115,11 @@ class BatchedTrainer:
 
             def do_learn(a):
                 def one(a, k):
-                    batch = replay_sample(replay, k, cfg.batch_size, n_act * B)
+                    # next states are stored explicitly, so every entry is a
+                    # complete transition — no newest-rows exclusion needed
+                    # (that exclusion mirrors the reference's slot arithmetic
+                    # in fidelity mode, agents/replay.py docstring)
+                    batch = replay_sample(replay, k, cfg.batch_size, 0)
                     return agent.learn_batch(a, batch), None
 
                 a, _ = jax.lax.scan(one, a, jax.random.split(k_learn, cfg.update_loops))
