@@ -52,23 +52,33 @@ class BatchedTrainer:
     """vmap-over-envs DDPG trainer with in-graph episode auto-reset."""
 
     def __init__(self, env: PDEEnv, agent: DDPGAgent, cfg: BatchedTrainerConfig,
-                 random_init: Optional[Callable] = None):
+                 random_init: Optional[Callable] = None, y0_pool=None):
+        """`random_init` must be jit-traceable (it runs inside the fused
+        scan). For host-only initial-condition generators (the fluid
+        random-vortex IC, FluidSetup.jl:386-394) pass `y0_pool` instead: a
+        precomputed (P, ...) array of initial fields sampled uniformly at
+        every auto-reset."""
         self.env = env
         self.agent = agent
         self.cfg = cfg
         self.random_init = random_init
+        self.y0_pool = None if y0_pool is None else jnp.asarray(y0_pool)
         self._reset1 = lambda y0: env.reset(y0)
         self._step1 = env.step
+
+    def _fresh_y0s(self, key, n):
+        if self.y0_pool is not None:
+            idx = jax.random.randint(key, (n,), 0, self.y0_pool.shape[0])
+            return self.y0_pool[idx]
+        if self.random_init is not None:
+            return jax.vmap(self.random_init)(jax.random.split(key, n))
+        y0 = jnp.asarray(self.env.y0)
+        return jnp.broadcast_to(y0, (n,) + y0.shape)
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> BatchedTrainState:
         k_agent, k_envs, k_run = jax.random.split(key, 3)
-        if self.random_init is not None:
-            y0s = jax.vmap(self.random_init)(jax.random.split(k_envs, self.cfg.n_envs))
-        else:
-            y0 = jnp.asarray(self.env.y0)
-            y0s = jnp.broadcast_to(y0, (self.cfg.n_envs,) + y0.shape)
-        env_states = jax.vmap(self._reset1)(y0s)
+        env_states = jax.vmap(self._reset1)(self._fresh_y0s(k_envs, self.cfg.n_envs))
         acfg = self.agent.cfg
         return BatchedTrainState(
             agent=self.agent.init_state(k_agent),
@@ -128,12 +138,7 @@ class BatchedTrainer:
             astate = jax.lax.cond(can, do_learn, lambda a: a, astate)
 
         # auto-reset finished episodes with fresh initial conditions
-        if self.random_init is not None:
-            y0s = jax.vmap(self.random_init)(jax.random.split(k_reset, B))
-        else:
-            y0 = jnp.asarray(env.y0)
-            y0s = jnp.broadcast_to(y0, (B,) + y0.shape)
-        fresh = jax.vmap(self._reset1)(y0s)
+        fresh = jax.vmap(self._reset1)(self._fresh_y0s(k_reset, B))
         done = new_estates.done
 
         def pick(f, n):
