@@ -211,3 +211,30 @@ def test_multichip_compiles_at_production_grid():
     step = tr.make_train_step()
     s1 = step(state, state.w)
     assert np.isfinite(float(s1.mean_reward))
+
+
+def test_sharded_keller_segel_matches_single_chip():
+    from distributedconvrl_pde_control_tpu.ops.keller_segel import KellerSegelSolver
+    from distributedconvrl_pde_control_tpu.parallel.keller_segel_sharded import (
+        KellerSegelShardedSolver,
+    )
+
+    mesh = sp_mesh(4)
+    nx, lx = 100, 10.0
+    single = KellerSegelSolver(nx=nx, lx=lx)
+    sharded = KellerSegelShardedSolver(nx=nx, lx=lx, sp_axis="sp")
+
+    rng = np.random.default_rng(0)
+    y = np.ones((2, nx), np.float32)
+    y[0] += 0.05 * rng.standard_normal(nx).astype(np.float32)
+    f = 0.1 * rng.standard_normal(nx).astype(np.float32)
+
+    want = np.asarray(single.step(jnp.asarray(y), jnp.asarray(f), 0.006, 10))
+
+    step = shard_map(
+        lambda yb, fb: sharded.step(yb, fb, 0.006, 10),
+        mesh=mesh, in_specs=(P(None, "sp"), P("sp")), out_specs=P(None, "sp"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(step)(jnp.asarray(y), jnp.asarray(f)))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
