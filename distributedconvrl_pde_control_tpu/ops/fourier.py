@@ -215,3 +215,29 @@ def ifft2_ri_real(xr: jnp.ndarray, xi: jnp.ndarray, mode: str = "auto") -> jnp.n
     """Real part of the 2D inverse transform (for Hermitian spectra)."""
     re, _ = ifft2_ri(xr, xi, mode)
     return re
+
+
+# ------------------------------------------------- 2D real (half-spectrum)
+# Real 2D fields have Hermitian spectra; keeping only the non-negative-kx
+# half (nx//2+1 columns) halves every downstream elementwise op and the
+# y-axis transforms. Shapes: real (..., ny, nx) <-> half spectrum
+# (..., ny, nx//2+1) as (re, im) pairs.
+
+def rfft2_ri(x: jnp.ndarray, mode: str = "auto"):
+    """Real field -> (re, im) half-spectrum: rfft along -1, full fft along -2."""
+    if not use_matmul_dft(mode):
+        h = jnp.fft.rfft2(x)
+        return jnp.real(h), jnp.imag(h)
+    c, s = _rdft_mats(x.shape[-1])
+    re = jnp.matmul(x, c, precision=_P)
+    im = -jnp.matmul(x, s, precision=_P)
+    return _fft_ri_axis(re, im, -2, -1.0, "matmul")
+
+
+def irfft2_ri_real(re: jnp.ndarray, im: jnp.ndarray, nx: int, mode: str = "auto") -> jnp.ndarray:
+    """(re, im) half-spectrum -> real field (ifft along -2, irfft along -1)."""
+    if not use_matmul_dft(mode):
+        return jnp.fft.irfft2(jax.lax.complex(re, im), s=(re.shape[-2], nx))
+    re, im = _fft_ri_axis(re, im, -2, 1.0, "matmul")
+    ci, si = _irdft_mats(nx)
+    return jnp.matmul(re, ci, precision=_P) - jnp.matmul(im, si, precision=_P)

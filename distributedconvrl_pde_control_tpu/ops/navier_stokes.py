@@ -23,8 +23,10 @@ import numpy as np
 from distributedconvrl_pde_control_tpu.ops import fourier
 from distributedconvrl_pde_control_tpu.ops.spectral import (
     chop_32,
+    chop_32_half,
     fft_wavenumbers,
     pad_32,
+    pad_32_half,
 )
 
 
@@ -125,40 +127,52 @@ class NSSolver:
     # ----------------------------------------------- real/imag split path
     # Complex dtypes are emulated on TPU (and untransferable on some
     # runtimes); production env configs keep the vorticity as a REAL field
-    # and run the spectral substeps on (re, im) float32 pairs.
+    # and run the spectral substeps on (re, im) float32 pairs over the
+    # HALF spectrum (kx >= 0 — Hermitian symmetry of real fields), which
+    # halves all elementwise work and the y-axis transforms.
+    @property
+    def _half_ops(self):
+        nxh = self.nx // 2 + 1
+        return (self.kx_row[:, :nxh], self.ky_col[:, :nxh],
+                self.k2[:, :nxh], self.inv_k2[:, :nxh])
+
     def _advection_ri(self, wr, wi):
+        """Half-spectrum advection; wr/wi: (..., ny, nx//2+1)."""
         mode = self.fft_mode
-        pr, pi = self.inv_k2 * wr, self.inv_k2 * wi
+        kx, ky, _, inv_k2 = self._half_ops
+        pr, pi = inv_k2 * wr, inv_k2 * wi
         # d/dx = i*kx, d/dy = i*ky: i*(a+ib) = (-b, a)
-        dxr, dxi = -self.kx_row * wi, self.kx_row * wr
-        dyr, dyi = -self.ky_col * wi, self.ky_col * wr
+        dxr, dxi = -kx * wi, kx * wr
+        dyr, dyi = -ky * wi, ky * wr
         # vhat = -i*kx*psi, uhat = i*ky*psi
-        vr, vi = self.kx_row * pi, -self.kx_row * pr
-        ur, ui = -self.ky_col * pi, self.ky_col * pr
+        vr, vi = kx * pi, -kx * pr
+        ur, ui = -ky * pi, ky * pr
 
         if self.dealias:
             nxp, nyp = 3 * self.nx // 2, 3 * self.ny // 2
 
-            def pad_real(ar, ai):
-                return fourier.ifft2_ri_real(
-                    pad_32(ar, nyp, nxp), pad_32(ai, nyp, nxp), mode=mode
+            def to_padded_real(ar, ai):
+                return fourier.irfft2_ri_real(
+                    pad_32_half(ar, nyp, nxp), pad_32_half(ai, nyp, nxp), nxp, mode=mode
                 )
 
-            up = pad_real(ur, ui)
-            vp = pad_real(vr, vi)
-            dwdxp = pad_real(dxr, dxi)
-            dwdyp = pad_real(dyr, dyi)
-            tr, ti = fourier.fft2_ri(-up * dwdxp - vp * dwdyp, mode=mode)
-            return chop_32(tr, self.ny, self.nx) * 2.25, chop_32(ti, self.ny, self.nx) * 2.25
-        u = fourier.ifft2_ri_real(ur, ui, mode=mode)
-        v = fourier.ifft2_ri_real(vr, vi, mode=mode)
-        dwdx = fourier.ifft2_ri_real(dxr, dxi, mode=mode)
-        dwdy = fourier.ifft2_ri_real(dyr, dyi, mode=mode)
-        return fourier.fft2_ri(-u * dwdx - v * dwdy, mode=mode)
+            up = to_padded_real(ur, ui)
+            vp = to_padded_real(vr, vi)
+            dwdxp = to_padded_real(dxr, dxi)
+            dwdyp = to_padded_real(dyr, dyi)
+            tr, ti = fourier.rfft2_ri(-up * dwdxp - vp * dwdyp, mode=mode)
+            return (chop_32_half(tr, self.ny, self.nx) * 2.25,
+                    chop_32_half(ti, self.ny, self.nx) * 2.25)
+        u = fourier.irfft2_ri_real(ur, ui, self.nx, mode=mode)
+        v = fourier.irfft2_ri_real(vr, vi, self.nx, mode=mode)
+        dwdx = fourier.irfft2_ri_real(dxr, dxi, self.nx, mode=mode)
+        dwdy = fourier.irfft2_ri_real(dyr, dyi, self.nx, mode=mode)
+        return fourier.rfft2_ri(-u * dwdx - v * dwdy, mode=mode)
 
     def _rhs_ri(self, wr, wi, fr, fi):
+        k2h = self._half_ops[2]
         ar, ai = self._advection_ri(wr, wi)
-        return -self.nu * self.k2 * wr + ar + fr, -self.nu * self.k2 * wi + ai + fi
+        return -self.nu * k2h * wr + ar + fr, -self.nu * k2h * wi + ai + fi
 
     @partial(jax.jit, static_argnums=(0, 4))
     def step_real(self, omg: jnp.ndarray, forcing: jnp.ndarray, dt, oversampling: int):
@@ -171,8 +185,8 @@ class NSSolver:
         """
         mode = self.fft_mode
         dt_os = dt / oversampling
-        wr, wi = fourier.fft2_ri(omg.astype(jnp.float32), mode=mode)
-        fr, fi = fourier.fft2_ri(forcing.astype(jnp.float32), mode=mode)
+        wr, wi = fourier.rfft2_ri(omg.astype(jnp.float32), mode=mode)
+        fr, fi = fourier.rfft2_ri(forcing.astype(jnp.float32), mode=mode)
 
         def sub(c, _):
             wr, wi = c
@@ -185,7 +199,7 @@ class NSSolver:
             return (wr, wi), None
 
         (wr, wi), _ = jax.lax.scan(sub, (wr, wi), None, length=oversampling)
-        return fourier.ifft2_ri_real(wr, wi, mode=mode)
+        return fourier.irfft2_ri_real(wr, wi, self.nx, mode=mode)
 
     # ------------------------------------------------------------ diagnostics
     def omg2vel(self, omghat):

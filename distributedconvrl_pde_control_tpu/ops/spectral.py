@@ -79,3 +79,32 @@ def chop_32(fp: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:
     f = f.at[ny2 + 1 :, : nx2 + 1].set(fp[nyp - ny2 + 1 :, : nx2 + 1])
     f = f.at[ny2 + 1 :, nx2 + 1 :].set(fp[nyp - ny2 + 1 :, nxp - nx2 + 1 :])
     return f
+
+
+def pad_32_half(f: jnp.ndarray, nyp: int, nxp: int) -> jnp.ndarray:
+    """3/2-rule padding for HALF spectra (real-field rfft2 layout).
+
+    f: (..., ny, nx//2+1) -> (..., nyp, nxp//2+1). The x axis holds only
+    non-negative wavenumbers, so padding is a plain right-extension with
+    zeros; the y axis splits into the usual low-frequency quadrants
+    (semantics of `pad_32` / fluid_rk4.jl:192-210 restricted to kx >= 0).
+    """
+    ny, nxh = f.shape[-2], f.shape[-1]
+    ny2 = ny // 2
+    out_shape = f.shape[:-2] + (nyp, nxp // 2 + 1)
+    fp = jnp.zeros(out_shape, dtype=f.dtype)
+    fp = fp.at[..., : ny2 + 1, :nxh].set(f[..., : ny2 + 1, :])
+    fp = fp.at[..., nyp - ny2 + 1 :, :nxh].set(f[..., ny2 + 1 :, :])
+    return fp
+
+
+def chop_32_half(fp: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:
+    """Inverse of `pad_32_half`: (..., nyp, nxp//2+1) -> (..., ny, nx//2+1)."""
+    nyp = fp.shape[-2]
+    ny2 = ny // 2
+    nxh = nx // 2 + 1
+    out_shape = fp.shape[:-2] + (ny, nxh)
+    f = jnp.zeros(out_shape, dtype=fp.dtype)
+    f = f.at[..., : ny2 + 1, :].set(fp[..., : ny2 + 1, :nxh])
+    f = f.at[..., ny2 + 1 :, :].set(fp[..., nyp - ny2 + 1 :, :nxh])
+    return f

@@ -83,3 +83,21 @@ def test_omg2vel_divergence_free():
     uh, vh = np.fft.fft2(np.asarray(u)), np.fft.fft2(np.asarray(v))
     div = 1j * np.asarray(solver.kx_row) * uh + 1j * np.asarray(solver.ky_col) * vh
     assert np.abs(np.fft.ifft2(div).real).max() < 1e-3
+
+
+def test_step_real_half_spectrum_matches_complex_path():
+    """The production real path (half-spectrum ri arithmetic) must match the
+    complex reference path, dealiased and plain."""
+    rng = np.random.default_rng(3)
+    w0 = initial_condition(2, 32, 32, 1.0, 1.0, rng)
+    omg = np.fft.ifft2(w0).real.astype(np.float32)
+    f_real = 0.3 * np.cos(2 * np.pi * np.arange(32) / 32)[None, :] * np.ones((32, 1))
+    f_hat = jnp.asarray(np.fft.fft2(f_real), jnp.complex64)
+
+    for dealias in (True, False):
+        s = NSSolver(nx=32, ny=32, nu=5e-4, dealias=dealias, fft_mode="native")
+        want = np.fft.ifft2(np.asarray(
+            s.step(jnp.asarray(w0, jnp.complex64), f_hat, 0.01, 4)
+        )).real
+        got = np.asarray(s.step_real(jnp.asarray(omg), jnp.asarray(f_real, jnp.float32), 0.01, 4))
+        assert np.allclose(got, want, atol=2e-4), (dealias, np.abs(got - want).max())
