@@ -45,6 +45,12 @@ class NSSolver:
     nu: float = 5e-5
     dealias: bool = True
     fft_mode: str = "auto"  # part of the jit key
+    # Hermitian half-spectrum (kx >= 0) halves flops in exact arithmetic but
+    # LOSES on TPU at these sizes: nx//2+1 is odd, so every (ny, nxh) tensor
+    # pads to the 128-lane tile anyway and the savings evaporate while the
+    # pad/chop scatters add work (measured 23 vs 27 steps/s at 128^2).
+    # Full-spectrum split-ri stays the TPU default.
+    half_spectrum: bool = False
 
     kx_row: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
     ky_col: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
@@ -131,15 +137,34 @@ class NSSolver:
     # HALF spectrum (kx >= 0 — Hermitian symmetry of real fields), which
     # halves all elementwise work and the y-axis transforms.
     @property
-    def _half_ops(self):
-        nxh = self.nx // 2 + 1
-        return (self.kx_row[:, :nxh], self.ky_col[:, :nxh],
-                self.k2[:, :nxh], self.inv_k2[:, :nxh])
+    def _ri_ops(self):
+        if self.half_spectrum:
+            nxh = self.nx // 2 + 1
+            return (self.kx_row[:, :nxh], self.ky_col[:, :nxh],
+                    self.k2[:, :nxh], self.inv_k2[:, :nxh])
+        return (self.kx_row, self.ky_col, self.k2, self.inv_k2)
+
+    def _fwd_ri(self, x_real):
+        if self.half_spectrum:
+            return fourier.rfft2_ri(x_real, mode=self.fft_mode)
+        return fourier.fft2_ri(x_real, None, mode=self.fft_mode)
+
+    def _inv_ri_real(self, zr, zi, nx):
+        if self.half_spectrum:
+            return fourier.irfft2_ri_real(zr, zi, nx, mode=self.fft_mode)
+        return fourier.ifft2_ri_real(zr, zi, mode=self.fft_mode)
+
+    def _pad(self, z, nyp, nxp):
+        return pad_32_half(z, nyp, nxp) if self.half_spectrum else pad_32(z, nyp, nxp)
+
+    def _chop(self, z):
+        if self.half_spectrum:
+            return chop_32_half(z, self.ny, self.nx)
+        return chop_32(z, self.ny, self.nx)
 
     def _advection_ri(self, wr, wi):
-        """Half-spectrum advection; wr/wi: (..., ny, nx//2+1)."""
-        mode = self.fft_mode
-        kx, ky, _, inv_k2 = self._half_ops
+        """Split-ri advection; wr/wi: (..., ny, nx) or half-spectrum."""
+        kx, ky, _, inv_k2 = self._ri_ops
         pr, pi = inv_k2 * wr, inv_k2 * wi
         # d/dx = i*kx, d/dy = i*ky: i*(a+ib) = (-b, a)
         dxr, dxi = -kx * wi, kx * wr
@@ -152,25 +177,22 @@ class NSSolver:
             nxp, nyp = 3 * self.nx // 2, 3 * self.ny // 2
 
             def to_padded_real(ar, ai):
-                return fourier.irfft2_ri_real(
-                    pad_32_half(ar, nyp, nxp), pad_32_half(ai, nyp, nxp), nxp, mode=mode
-                )
+                return self._inv_ri_real(self._pad(ar, nyp, nxp), self._pad(ai, nyp, nxp), nxp)
 
             up = to_padded_real(ur, ui)
             vp = to_padded_real(vr, vi)
             dwdxp = to_padded_real(dxr, dxi)
             dwdyp = to_padded_real(dyr, dyi)
-            tr, ti = fourier.rfft2_ri(-up * dwdxp - vp * dwdyp, mode=mode)
-            return (chop_32_half(tr, self.ny, self.nx) * 2.25,
-                    chop_32_half(ti, self.ny, self.nx) * 2.25)
-        u = fourier.irfft2_ri_real(ur, ui, self.nx, mode=mode)
-        v = fourier.irfft2_ri_real(vr, vi, self.nx, mode=mode)
-        dwdx = fourier.irfft2_ri_real(dxr, dxi, self.nx, mode=mode)
-        dwdy = fourier.irfft2_ri_real(dyr, dyi, self.nx, mode=mode)
-        return fourier.rfft2_ri(-u * dwdx - v * dwdy, mode=mode)
+            tr, ti = self._fwd_ri(-up * dwdxp - vp * dwdyp)
+            return self._chop(tr) * 2.25, self._chop(ti) * 2.25
+        u = self._inv_ri_real(ur, ui, self.nx)
+        v = self._inv_ri_real(vr, vi, self.nx)
+        dwdx = self._inv_ri_real(dxr, dxi, self.nx)
+        dwdy = self._inv_ri_real(dyr, dyi, self.nx)
+        return self._fwd_ri(-u * dwdx - v * dwdy)
 
     def _rhs_ri(self, wr, wi, fr, fi):
-        k2h = self._half_ops[2]
+        k2h = self._ri_ops[2]
         ar, ai = self._advection_ri(wr, wi)
         return -self.nu * k2h * wr + ar + fr, -self.nu * k2h * wi + ai + fi
 
@@ -183,10 +205,9 @@ class NSSolver:
         transform pair per env step versus keeping spectral state — noise
         against the ~5 transforms per RHS evaluation.
         """
-        mode = self.fft_mode
         dt_os = dt / oversampling
-        wr, wi = fourier.rfft2_ri(omg.astype(jnp.float32), mode=mode)
-        fr, fi = fourier.rfft2_ri(forcing.astype(jnp.float32), mode=mode)
+        wr, wi = self._fwd_ri(omg.astype(jnp.float32))
+        fr, fi = self._fwd_ri(forcing.astype(jnp.float32))
 
         def sub(c, _):
             wr, wi = c
@@ -199,7 +220,7 @@ class NSSolver:
             return (wr, wi), None
 
         (wr, wi), _ = jax.lax.scan(sub, (wr, wi), None, length=oversampling)
-        return fourier.irfft2_ri_real(wr, wi, self.nx, mode=mode)
+        return self._inv_ri_real(wr, wi, self.nx)
 
     # ------------------------------------------------------------ diagnostics
     def omg2vel(self, omghat):

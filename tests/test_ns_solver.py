@@ -95,9 +95,13 @@ def test_step_real_half_spectrum_matches_complex_path():
     f_hat = jnp.asarray(np.fft.fft2(f_real), jnp.complex64)
 
     for dealias in (True, False):
-        s = NSSolver(nx=32, ny=32, nu=5e-4, dealias=dealias, fft_mode="native")
-        want = np.fft.ifft2(np.asarray(
-            s.step(jnp.asarray(w0, jnp.complex64), f_hat, 0.01, 4)
-        )).real
-        got = np.asarray(s.step_real(jnp.asarray(omg), jnp.asarray(f_real, jnp.float32), 0.01, 4))
-        assert np.allclose(got, want, atol=2e-4), (dealias, np.abs(got - want).max())
+        for half in (True, False):
+            s = NSSolver(nx=32, ny=32, nu=5e-4, dealias=dealias, fft_mode="native",
+                         half_spectrum=half)
+            want = np.fft.ifft2(np.asarray(
+                s.step(jnp.asarray(w0, jnp.complex64), f_hat, 0.01, 4)
+            )).real
+            got = np.asarray(
+                s.step_real(jnp.asarray(omg), jnp.asarray(f_real, jnp.float32), 0.01, 4)
+            )
+            assert np.allclose(got, want, atol=2e-4), (dealias, half, np.abs(got - want).max())
