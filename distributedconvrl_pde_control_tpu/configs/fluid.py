@@ -37,6 +37,8 @@ class FluidConfig:
     lx: float = 1.0
     nu: float = 5e-5
     dealias: bool = True
+    adaptive: bool = False  # do_step2 semantics: adaptive RK4, tol 1e0
+    adaptive_tol: float = 1.0  # FluidSetup.jl:179
     # env (FluidSetup.jl:44-57)
     te: float = 6.0
     t0: float = 0.0
@@ -145,8 +147,27 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
         p = cfg.agent_power * (action[0] @ actuator_stack)
         return p.reshape(n, n)
 
-    def step_fn(y, forcing):
-        return solver.step_real(y, forcing, cfg.dt, cfg.oversampling)
+    if cfg.adaptive:
+        # the reference's do_step2 (FluidSetup.jl:181-186): adaptive RK4 at
+        # the loose tol 1e0, here as a jit-safe while_loop (ops.integrators)
+        from distributedconvrl_pde_control_tpu.ops import fourier as _fourier
+        from distributedconvrl_pde_control_tpu.ops.integrators import rk4_adaptive
+
+        def step_fn(y, forcing):
+            fr, fi = _fourier.fft2_ri(forcing, None, mode=solver.fft_mode)
+
+            def rhs(y_pair, _):
+                wr, wi = y_pair
+                return jnp.stack(solver._rhs_ri(wr, wi, fr, fi))
+
+            wr, wi = _fourier.fft2_ri(y, None, mode=solver.fft_mode)
+            out = rk4_adaptive(lambda z, f_: rhs((z[0], z[1]), f_), jnp.stack([wr, wi]),
+                               None, cfg.dt, rtol=cfg.adaptive_tol, atol=cfg.adaptive_tol,
+                               max_steps=256)
+            return _fourier.ifft2_ri_real(out[0], out[1], mode=solver.fft_mode)
+    else:
+        def step_fn(y, forcing):
+            return solver.step_real(y, forcing, cfg.dt, cfg.oversampling)
 
     rng0 = np.random.default_rng(cfg.grid_seed)
     y0 = np.fft.ifft2(initial_condition(4, n, n, cfg.lx, cfg.lx, rng0)).real.astype(np.float32)

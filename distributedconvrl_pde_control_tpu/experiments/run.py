@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="run directory (default runs/<preset>)")
     ap.add_argument("--load-from", default=None,
                     help="load a checkpoint from another run dir (zero-shot transfer)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue training from the run dir's checkpoint "
+                         "(the reference's load(); train() flow)")
     ap.add_argument("--p-te", type=float, default=200.0, help="eval horizon (plot_heat p_te)")
     ap.add_argument("--p-t-action", type=float, default=100.0,
                     help="eval actuation start time (plot_heat p_t_action)")
@@ -85,7 +88,13 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     if args.train:
-        ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed)
+        ts = hook = None
+        if args.resume:
+            ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+            ts, hook = checkpoint.load(args.load_from or out_dir, ts_template)
+            print(f"resuming from ep {hook.ep - 1}, best {hook.bestreward:.4f}")
+        ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed,
+                         ts=ts, hook=hook)
         checkpoint.save(out_dir, ts, hook)
         plotting.plot_rewards_curve(hook.rewards, os.path.join(out_dir, "rewards.png"),
                                     hook.bestepisode)
