@@ -59,6 +59,9 @@ def main(argv=None):
     ap.add_argument("--p-t-action", type=float, default=100.0,
                     help="eval actuation start time (plot_heat p_t_action)")
     ap.add_argument("--video", action="store_true", help="render an mp4 of the eval rollout")
+    ap.add_argument("--random-init", action="store_true",
+                    help="evaluate from a random initial condition (the hook's "
+                         "use_random_init flow) instead of the standard y0")
     ap.add_argument("--plot-best", action="store_true",
                     help="render the stored best-episode trace instead of a fresh "
                          "rollout (plot_heat(plot_best=true), plotting.jl)")
@@ -124,7 +127,10 @@ def main(argv=None):
               f"reward {hook.bestreward:.4f}) -> {out_dir}/heat_best.png")
         return
     policy = actor_policy(setup.agent, actor)
-    traces = rollout(setup.env, policy, te=args.p_te, t_action=args.p_t_action)
+    y0 = None
+    if args.random_init and setup.random_init is not None:
+        y0 = setup.random_init(jax.random.PRNGKey(setup.seed))
+    traces = rollout(setup.env, policy, y0=y0, te=args.p_te, t_action=args.p_t_action)
 
     is_fluid = args.preset.startswith("Fluid")
     if is_fluid:
@@ -145,9 +151,14 @@ def main(argv=None):
         plotting.plot_actions(traces, os.path.join(out_dir, "actions.png"))
         n_steps = traces["y"].shape[0]
         act_start = int(round(args.p_t_action / setup.env.dt))
-        pre = float(np.abs(traces["y"][max(0, act_start - 100):act_start]).mean())
-        post = float(np.abs(traces["y"][-max(1, n_steps // 10):]).mean())
-        print(json.dumps({"pre_control_mean_abs_y": pre, "post_control_mean_abs_y": post,
+        y = traces["y"]
+        if args.preset.startswith("KellerSegel"):
+            # the control target is the homogeneous state u = 1
+            # (KellerSegelSetup.jl:241-263), so report |u - 1|
+            y = y[:, 0] - 1.0
+        pre = float(np.abs(y[max(0, act_start - 100):act_start]).mean())
+        post = float(np.abs(y[-max(1, n_steps // 10):]).mean())
+        print(json.dumps({"pre_control_mean_abs_dev": pre, "post_control_mean_abs_dev": post,
                           "suppression": post / pre if pre else None}))
     if args.video:
         out = plotting.render_animation(traces, out_dir)
