@@ -55,6 +55,12 @@ class FluidConfig:
     sensor_scale: float = 1.0 / 70.0
     reward_norm: float = 320.0
     reward_pow: float = 1.1
+    # EXTENSION (not in the reference): optional local-enstrophy penalty
+    # -w * <|omega|, g_i>. The reference reward only sees the SIGNED local
+    # average <omega, g_i> (FluidSetup.jl:197), which is blind to
+    # zero-circulation vortex pairs inside a kernel; this term directly
+    # optimizes the energy diagnostic sum|omega| used by its evaluation.
+    energy_reward_weight: float = 0.0
     # agent (FluidSetup.jl:79-95)
     nna_scale: float = 1.8
     nna_scale_critic: float = 17.0
@@ -134,12 +140,16 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
 
     def reward_fn(y, action, delta_action):
         """FluidSetup.jl:188-202 (state already real-space)."""
-        dots = jnp.abs(sensor_matrix @ y.reshape(-1)) ** cfg.reward_pow / cfg.reward_norm
-        return (
+        flat = y.reshape(-1)
+        dots = jnp.abs(sensor_matrix @ flat) ** cfg.reward_pow / cfg.reward_norm
+        r = (
             -jnp.abs(dots)
             - cfg.action_punish * action[0] ** 2
             - cfg.delta_action_punish * delta_action[0] ** 2
         )
+        if cfg.energy_reward_weight > 0.0:
+            r = r - cfg.energy_reward_weight * (sensor_matrix @ jnp.abs(flat))
+        return r
 
     def prepare_action(action):
         """FluidSetup.jl:247-261 — real forcing field; the solver transforms
