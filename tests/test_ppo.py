@@ -65,3 +65,22 @@ def test_ppo_trains_on_ks():
     assert int(pstate.update_count) == 3
     for layer in pstate.mu:
         assert np.isfinite(np.asarray(layer["w"])).all()
+
+
+def test_ppo_converges_on_ks():
+    """PPO actually learns the KS controller (reward improves decisively)."""
+    setup = build_ks(KS22)
+    cfg = PPOConfig(ns=setup.agent.cfg.ns, na=1, rollout_len=50, n_microbatches=16,
+                    n_epochs=4, learning_rate=3e-4)
+    agent = PPOAgent(cfg)
+    trainer = PPOTrainer(setup.env, agent, n_envs=8, random_init=ks_random_init(KS22))
+    it = trainer.make_train_iter()
+    pstate = agent.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    rews = []
+    for _ in range(25):
+        key, k = jax.random.split(key)
+        pstate, r = it(pstate, k)
+        rews.append(float(r))
+    rews = np.asarray(rews)
+    assert rews[-5:].mean() > rews[:5].mean() + 0.05, rews
