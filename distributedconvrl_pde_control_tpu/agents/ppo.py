@@ -95,11 +95,14 @@ class PPOAgent:
         return apply_chain(params["critic"], obs, jax.nn.relu, None)[0]
 
     def sample(self, params, obs, key):
+        """Returns (raw_action, env_action, logp): the RAW sample goes into
+        the batch (its logp must match what `update` recomputes), the clipped
+        copy is what the environment executes."""
         mu, sig = self.dist(params, obs)
         eps = jax.random.normal(key, mu.shape)
         action = mu + sig * eps
         logp = self._logp(mu, sig, action)
-        return jnp.clip(action, -self.cfg.act_limit, self.cfg.act_limit), logp
+        return action, jnp.clip(action, -self.cfg.act_limit, self.cfg.act_limit), logp
 
     @staticmethod
     def _logp(mu, sig, action):
@@ -226,9 +229,9 @@ class PPOTrainer:
             def step(carry, k):
                 estates = carry
                 obs = jnp.moveaxis(estates.obs, 0, 1).reshape(cfg.ns, B)
-                action_flat, logp = agent.sample(params, obs, k)
+                action_raw, action_env, logp = agent.sample(params, obs, k)
                 value = agent.value(params, obs)
-                actions = jnp.moveaxis(action_flat.reshape(cfg.na, self.n_envs, n_act), 1, 0)
+                actions = jnp.moveaxis(action_env.reshape(cfg.na, self.n_envs, n_act), 1, 0)
                 new_estates = jax.vmap(env.step)(estates, actions)
                 rewards = new_estates.reward.reshape(B)
                 dones = jnp.repeat(new_estates.done.astype(jnp.float32), n_act)
@@ -238,7 +241,7 @@ class PPOTrainer:
                     new_estates.done.reshape((self.n_envs,) + (1,) * (n_.ndim - 1)), f, n_
                 )
                 estates = jax.tree.map(pick, fresh, new_estates)
-                out = {"obs": obs, "actions": action_flat, "logp": logp,
+                out = {"obs": obs, "actions": action_raw, "logp": logp,
                        "rewards": rewards, "values": value, "dones": dones}
                 return estates, out
 

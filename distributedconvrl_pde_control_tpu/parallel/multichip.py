@@ -198,7 +198,7 @@ class MultichipFluidTrainer:
 
         def local_step(state: MCState, ops: ShardedOps, sens, akern, w0_local):
             dp_idx = jax.lax.axis_index("dp")
-            key, k_act, k_learn, k_noise = jax.random.split(state.key, 4)
+            key, k_act, k_learn = jax.random.split(state.key, 3)
             k_act_dp = jax.random.fold_in(k_act, dp_idx)
             k_learn_dp = jax.random.fold_in(k_learn, dp_idx)
 
