@@ -26,18 +26,28 @@ from distributedconvrl_pde_control_tpu.train.loop import TrainState
 from distributedconvrl_pde_control_tpu.utils.hostarray import to_numpy
 
 
-def _paths(dirpath: str, number: Optional[int]):
+def _paths(dirpath: str, number: Optional[int], light: bool = False):
     os.makedirs(os.path.join(dirpath, "saves"), exist_ok=True)
     suffix = "" if number is None else str(number)
+    name = "agent_light" if light else "agent"
     return (
-        os.path.join(dirpath, "saves", f"agent{suffix}.msgpack"),
+        os.path.join(dirpath, "saves", f"{name}{suffix}.msgpack"),
         os.path.join(dirpath, "saves", f"hook{suffix}.npz"),
     )
 
 
-def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = None) -> None:
-    agent_path, hook_path = _paths(dirpath, number)
-    host_ts = jax.tree.map(to_numpy, ts)
+def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = None,
+         include_replay: bool = True) -> None:
+    """include_replay=False writes a "light" checkpoint (networks, optimizer
+    state, counters — no replay buffer): loading resumes with a fresh buffer,
+    which is what shipping pretrained policies needs (the reference's JLD2
+    blobs embed the buffer and several exceed its repo's LFS limits,
+    .MISSING_LARGE_BLOBS)."""
+    agent_path, hook_path = _paths(dirpath, number, light=not include_replay)
+    if include_replay:
+        host_ts = jax.tree.map(to_numpy, ts)
+    else:
+        host_ts = jax.tree.map(to_numpy, {"agent": ts.agent, "key": ts.key})
     with open(agent_path, "wb") as f:
         f.write(serialization.to_bytes(host_ts))
 
@@ -67,10 +77,18 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
 
 def load(dirpath: str, ts_template: TrainState, number: Optional[int] = None):
     """Returns (TrainState, PDEHook). `ts_template` supplies the pytree
-    structure/shapes (build it with `init_train_state` on the same setup)."""
+    structure/shapes (build it with `init_train_state` on the same setup).
+    Accepts both full and light checkpoints (light: fresh replay buffer)."""
     agent_path, hook_path = _paths(dirpath, number)
-    with open(agent_path, "rb") as f:
-        ts = serialization.from_bytes(ts_template, f.read())
+    light_path, _ = _paths(dirpath, number, light=True)
+    if os.path.exists(agent_path):
+        with open(agent_path, "rb") as f:
+            ts = serialization.from_bytes(ts_template, f.read())
+    else:
+        template = {"agent": ts_template.agent, "key": ts_template.key}
+        with open(light_path, "rb") as f:
+            part = serialization.from_bytes(template, f.read())
+        ts = ts_template.replace(agent=part["agent"], key=part["key"])
     ts = jax.tree.map(jax.numpy.asarray, ts)
 
     data = np.load(hook_path, allow_pickle=False)

@@ -127,3 +127,23 @@ def test_training_is_deterministic_given_seed():
     assert hook_a.rewards == hook_b.rewards
     _, hook_c = train(setup, loops=1, no_steps=100, verbose=False, seed=8)
     assert hook_a.rewards != hook_c.rewards
+
+
+def test_light_checkpoint_roundtrip(trained, tmp_path):
+    """Replay-free checkpoints: policies ship at KB scale and load against a
+    fresh buffer (the reference's large JLD2 blobs overflow its LFS limits)."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    setup, ts, hook = trained
+    checkpoint.save(str(tmp_path), ts, hook, include_replay=False)
+    assert not os.path.exists(tmp_path / "saves" / "agent.msgpack")
+    assert (tmp_path / "saves" / "agent_light.msgpack").stat().st_size < 5_000_000
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts2, hook2 = checkpoint.load(str(tmp_path), template)
+    for a, b in zip(ts.agent.actor, ts2.agent.actor):
+        assert np.allclose(np.asarray(a["w"]), np.asarray(b["w"]))
+    assert int(ts2.replay.size) == 0  # fresh buffer
+    assert hook2.bestreward == hook.bestreward
