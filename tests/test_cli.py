@@ -31,5 +31,5 @@ def test_cli_train_then_eval(tmp_path):
                 "--p-t-action", "15", cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
-    assert stats["pre_control_mean_abs_y"] > 0
+    assert stats["pre_control_mean_abs_dev"] > 0
     assert os.path.exists(os.path.join(out, "heat.png"))
