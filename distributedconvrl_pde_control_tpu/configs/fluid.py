@@ -18,7 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGConfig
-from distributedconvrl_pde_control_tpu.envs.features import Conv2DFeaturizer, taylor_kernels_2d
+from distributedconvrl_pde_control_tpu.envs.features import (
+    AbsConv2DFeaturizer,
+    Conv2DFeaturizer,
+    taylor_kernels_2d,
+)
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import NSSolver, initial_condition
 from distributedconvrl_pde_control_tpu.train.drivers import Setup
@@ -61,6 +65,9 @@ class FluidConfig:
     # zero-circulation vortex pairs inside a kernel; this term directly
     # optimizes the energy diagnostic sum|omega| used by its evaluation.
     energy_reward_weight: float = 0.0
+    # EXTENSION: add an |omega| observation channel (envs.features.
+    # AbsConv2DFeaturizer) so energy objectives become observable.
+    abs_sensor_channel: bool = False
     # agent (FluidSetup.jl:79-95)
     nna_scale: float = 1.8
     nna_scale_critic: float = 17.0
@@ -128,15 +135,24 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
     actuator_stack = jnp.asarray(actuators.reshape(n_act, -1), jnp.float32)
     a2s = np.arange(n_act)
 
-    featurizer = Conv2DFeaturizer(
-        sensor_matrix=sensor_matrix,
-        actuators_to_sensors=a2s,
-        sensors_per_axis=cfg.sensors_per_axis,
-        scale=cfg.sensor_scale,
-        window_size=cfg.window_size,
-        temporal_steps=cfg.temporal_steps,
-        memory_size=cfg.memory_size,
-    )
+    if cfg.abs_sensor_channel:
+        featurizer = AbsConv2DFeaturizer(
+            sensor_matrix=sensor_matrix,
+            actuators_to_sensors=a2s,
+            sensors_per_axis=cfg.sensors_per_axis,
+            scale=cfg.sensor_scale,
+            window_size=cfg.window_size,
+        )
+    else:
+        featurizer = Conv2DFeaturizer(
+            sensor_matrix=sensor_matrix,
+            actuators_to_sensors=a2s,
+            sensors_per_axis=cfg.sensors_per_axis,
+            scale=cfg.sensor_scale,
+            window_size=cfg.window_size,
+            temporal_steps=cfg.temporal_steps,
+            memory_size=cfg.memory_size,
+        )
 
     def reward_fn(y, action, delta_action):
         """FluidSetup.jl:188-202 (state already real-space)."""

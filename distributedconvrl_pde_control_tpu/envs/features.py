@@ -293,3 +293,41 @@ class TwoFieldFeaturizer:
         return _temporal_and_memory(
             base, prev_obs, action, self.temporal_steps, self.memory_size, self.n_actuators
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class AbsConv2DFeaturizer:
+    """EXTENSION (not in the reference): fluid observations with a second
+    channel of |field| sensor readings.
+
+    The reference's observations are SIGNED local vorticity averages
+    (FluidSetup.jl:216) — blind to zero-circulation structures, which makes
+    total-energy objectives unlearnable (see ROADMAP.md). This featurizer
+    stacks windowed <|omega|, g_i> rows under the standard windowed
+    <omega, g_i> rows, doubling obs_dim.
+    """
+
+    sensor_matrix: jnp.ndarray  # (n_sensors, ny*nx)
+    actuators_to_sensors: np.ndarray
+    sensors_per_axis: int
+    scale: float
+    window_size: int = 3
+
+    @property
+    def n_actuators(self) -> int:
+        return len(self.actuators_to_sensors)
+
+    @property
+    def obs_dim(self) -> int:
+        return 2 * self.window_size**2
+
+    def __call__(self, y, prev_obs=None, action=None):
+        flat = y.reshape(-1)
+        spa = self.sensors_per_axis
+        vals = ((self.sensor_matrix @ flat) * self.scale).reshape(spa, spa)
+        avals = ((self.sensor_matrix @ jnp.abs(flat)) * self.scale).reshape(spa, spa)
+        base = jnp.concatenate(
+            [_window_stack_2d(vals, self.window_size),
+             _window_stack_2d(avals, self.window_size)], axis=0
+        )
+        return base[:, self.actuators_to_sensors]
