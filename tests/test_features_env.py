@@ -148,3 +148,19 @@ def test_two_field_sees_action():
     action = jnp.asarray([[0.3, -0.3, 0.1]])
     obs1 = f(y, obs0, action)
     assert np.allclose(np.asarray(obs1)[2], [0.3, -0.3, 0.1])
+
+
+def test_abs_conv2d_featurizer():
+    from distributedconvrl_pde_control_tpu.envs.features import AbsConv2DFeaturizer
+
+    spa = 3
+    n = spa * spa
+    sm = jnp.asarray(np.eye(n, 4 * n, dtype=np.float32))  # pick out first n cells
+    f = AbsConv2DFeaturizer(sensor_matrix=sm, actuators_to_sensors=np.arange(n),
+                            sensors_per_axis=spa, scale=1.0, window_size=1)
+    y = jnp.asarray(np.arange(-18, 18, dtype=np.float32).reshape(6, 6) / 6.0)
+    obs = np.asarray(f(y))
+    assert obs.shape == (2, n)
+    flat = np.asarray(y).reshape(-1)
+    assert np.allclose(obs[0], flat[:n])          # signed channel
+    assert np.allclose(obs[1], np.abs(flat)[:n])  # |field| channel
