@@ -2,10 +2,10 @@
 
 Measures the fused training configuration (BASELINE.json config "Batched 1D
 KS: 256 vmapped envs, fused on-device rollout + gradient update"): per env
-step this runs the full KS22 physics (30 CNAB2 substeps = 60 FFTs per env),
-the shared-policy forward over all 256*8 actuator columns, exploration
-noise, 2048 replay pushes, and one DDPG gradient update (batch 256) — all
-inside a single jitted scan.
+step this runs the full KS22 physics (30 CNAB2 substeps = 60 transforms per
+env), the shared-policy forward over all 16384*8 actuator columns,
+exploration noise, 131k replay pushes, and one DDPG gradient update
+(batch 4096) — all inside a single jitted scan.
 
 Baseline: the reference publishes no numbers (BASELINE.md); its north-star
 target is ">= 50x per-chip batched-env throughput vs the Julia reference".
@@ -28,7 +28,7 @@ jax.config.update("jax_default_prng_impl", "rbg")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N_ENVS = 4096
+N_ENVS = 16384
 CHUNK = 50
 TIMED_ROUNDS = 5
 BASELINE_STEPS_PER_SEC = 30_000.0
@@ -46,7 +46,7 @@ def main():
     trainer = BatchedTrainer(
         setup.env,
         setup.agent,
-        BatchedTrainerConfig(n_envs=N_ENVS, batch_size=2048, update_loops=1),
+        BatchedTrainerConfig(n_envs=N_ENVS, batch_size=4096, update_loops=1),
         random_init=ks_random_init(KS22),
     )
     ts = trainer.init(jax.random.PRNGKey(0))
