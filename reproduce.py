@@ -1,0 +1,89 @@
+"""Regenerate the RESULTS.md numbers from the shipped artifacts.
+
+    python reproduce.py            # the CPU-friendly rows (~5 min)
+    python reproduce.py --full     # adds the fluid energy comparisons (~15 min)
+
+Each row prints as JSON; values match RESULTS.md up to eval-horizon noise.
+"""
+
+import argparse
+import json
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def load_actor(preset_builder, path):
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    setup = preset_builder()
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(path, template)
+    actor = jax.tree.map(
+        jnp.asarray, hook.best_actor if hook.best_actor is not None else ts.agent.actor
+    )
+    return setup, actor
+
+
+def suppression(setup, actor, te, t_action):
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+
+    traces = rollout(setup.env, actor_policy(setup.agent, actor), te=te, t_action=t_action)
+    y = traces["y"]
+    act_start = int(round(t_action / setup.env.dt))
+    pre = float(np.abs(y[max(0, act_start - 100):act_start]).mean())
+    post = float(np.abs(y[-max(1, len(y) // 10):]).mean())
+    return {"pre": round(pre, 4), "post": round(post, 4),
+            "suppression": round(post / pre, 4)}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--full", action="store_true", help="include fluid energy rows")
+    args = ap.parse_args()
+
+    from distributedconvrl_pde_control_tpu import configs as C
+
+    # --- KS22 stabilization (plot_heat protocol)
+    setup, actor = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22")
+    print(json.dumps({"row": "KS22 stabilization", **suppression(setup, actor, 200.0, 100.0)}))
+
+    # --- zero-shot transfers from the KS200 artifact
+    _, actor200 = load_actor(lambda: C.build_ks(C.KS200), "artifacts/KS200")
+    s500 = C.build_ks(C.KS500)
+    print(json.dumps({"row": "KS200 -> KS500 transfer",
+                      **suppression(s500, actor200, 200.0, 100.0)}))
+    sdist = C.build_ks(C.KS200_DISTURBED)
+    print(json.dumps({"row": "KS200 -> mu=0.02 disturbed",
+                      **suppression(sdist, actor200, 200.0, 100.0)}))
+
+    if not args.full:
+        print("(run with --full for the fluid energy comparisons)")
+        return
+
+    # --- fluid energy comparisons
+    from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, energy_eval
+
+    for name, builder in [("Fluid_8", lambda: C.build_fluid(C.FLUID_8)),
+                          ("Fluid_16", lambda: C.build_fluid(C.FLUID_16)),
+                          ("Fluid_32", lambda: C.build_fluid(C.FLUID_32))]:
+        setup, actor = load_actor(builder, f"artifacts/{name}")
+        env = setup.env
+        e_t = energy_eval(env, actor_policy(setup.agent, actor), te=2.0)["energy"].mean()
+        e_n = energy_eval(env, NegatePolicy(env.action_shape,
+                                            center_row=setup.agent.cfg.ns // 2),
+                          te=2.0)["energy"].mean()
+        e_0 = energy_eval(env, ZeroPolicy(env.action_shape), te=2.0)["energy"].mean()
+        print(json.dumps({"row": f"{name} energy", "trained": round(float(e_t), 3),
+                          "corrected_negate": round(float(e_n), 3),
+                          "no_action": round(float(e_0), 3)}))
+
+
+if __name__ == "__main__":
+    main()
