@@ -139,15 +139,58 @@ class KSPallasStepper:
 
     @partial(jax.jit, static_argnums=0)
     def step(self, y: jnp.ndarray, forcing: jnp.ndarray) -> jnp.ndarray:
-        """y, forcing: (batch, nx) -> (batch, nx)."""
+        """y, forcing: (batch, nx) -> (batch, nx).
+
+        Large batches are tiled over a 1D grid so each tile's whole substep
+        loop runs out of VMEM: the XLA scan at 16k envs streams ~40 MB of
+        carries through HBM per substep, while here a tile's state stays
+        on-chip for all `oversampling` iterations (the DFT matrices are
+        re-fetched per tile — ~300 KB against the saved carry traffic).
+        """
         batch, nx = y.shape
         consts = self._consts
-        vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        nfp = self._nfp
+        # tile size: keep state (4 carries + intermediates) + matrices under
+        # a conservative VMEM budget
+        tile = batch
+        for cand in (2048, 1024, 512, 256, 128):
+            if batch % cand == 0 and cand * (4 * nfp + 2 * nx) * 4 < 8 * 2**20:
+                tile = cand
+                break
+        if batch <= 256 or batch % tile or tile == batch:
+            vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                self._kernel,
+                out_shape=jax.ShapeDtypeStruct((batch, nx), jnp.float32),
+                in_specs=[vspec] * 11,
+                out_specs=vspec,
+                interpret=self.interpret,
+            )(
+                y.astype(jnp.float32), forcing.astype(jnp.float32),
+                consts["c"], consts["s"], consts["ci"], consts["si"],
+                consts["a_inv"], consts["b"], consts["ga"],
+                consts["dre"], consts["dim_"],
+            )
+
+        def tile_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
         return pl.pallas_call(
             self._kernel,
+            grid=(batch // tile,),
             out_shape=jax.ShapeDtypeStruct((batch, nx), jnp.float32),
-            in_specs=[vspec] * 11,
-            out_specs=vspec,
+            in_specs=[
+                tile_spec((tile, nx)), tile_spec((tile, nx)),
+                const_spec(consts["c"].shape), const_spec(consts["s"].shape),
+                const_spec(consts["ci"].shape), const_spec(consts["si"].shape),
+                const_spec(consts["a_inv"].shape), const_spec(consts["b"].shape),
+                const_spec(consts["ga"].shape),
+                const_spec(consts["dre"].shape), const_spec(consts["dim_"].shape),
+            ],
+            out_specs=tile_spec((tile, nx)),
             interpret=self.interpret,
         )(
             y.astype(jnp.float32), forcing.astype(jnp.float32),

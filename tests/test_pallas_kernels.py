@@ -27,3 +27,14 @@ def test_ks_pallas_with_disturbance():
     want = np.asarray(solver.step(y, f))
     got = np.asarray(stepper.step(y, f))
     assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_ks_pallas_tiled_batch():
+    solver = KSSolver(nx=192, lx=22.0, dt=0.1, oversampling=5, fft_mode="native")
+    stepper = KSPallasStepper(solver, interpret=True)
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(0.3 * rng.standard_normal((512, 192)), jnp.float32)
+    f = jnp.asarray(0.1 * rng.standard_normal((512, 192)), jnp.float32)
+    want = np.asarray(solver.step(y, f))
+    got = np.asarray(stepper.step(y, f))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
