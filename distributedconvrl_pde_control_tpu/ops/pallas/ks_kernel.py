@@ -152,9 +152,12 @@ class KSPallasStepper:
         nfp = self._nfp
         # tile size: keep state (4 carries + intermediates) + matrices under
         # a conservative VMEM budget
+        # the fori body materializes ~3x the carry footprint in scratch
+        # (u_real, u^2, DFT products), so budget conservatively: measured
+        # 23 MB scoped-vmem at tile 2048 for nx=192 -> ~2.9 KB/row
         tile = batch
         for cand in (2048, 1024, 512, 256, 128):
-            if batch % cand == 0 and cand * (4 * nfp + 2 * nx) * 4 < 8 * 2**20:
+            if batch % cand == 0 and cand * (4 * nfp + 2 * nx) * 4 * 3 < 8 * 2**20:
                 tile = cand
                 break
         if batch <= 256 or batch % tile or tile == batch:
