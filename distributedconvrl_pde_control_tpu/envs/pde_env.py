@@ -27,6 +27,21 @@ import jax.numpy as jnp
 from flax import struct
 
 
+def create_default_y0(sim_shape) -> jnp.ndarray:
+    """The generic default initial condition (PDEenv.jl:8-24): 1.0 inside
+    the corner block covering the first 40% of every axis, 0.0 elsewhere.
+
+    Every shipped setup overrides y0, but the env constructor must work
+    without one, as the reference's does.
+    """
+    import numpy as np
+
+    y0 = np.zeros(sim_shape, np.float32)
+    region = tuple(slice(0, int(0.4 * n)) for n in sim_shape)
+    y0[region] = 1.0
+    return jnp.asarray(y0)
+
+
 @struct.dataclass
 class EnvState:
     """Pytree snapshot of the environment (PDEenv.jl:26-62)."""

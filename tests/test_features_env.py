@@ -164,3 +164,14 @@ def test_abs_conv2d_featurizer():
     flat = np.asarray(y).reshape(-1)
     assert np.allclose(obs[0], flat[:n])          # signed channel
     assert np.allclose(obs[1], np.abs(flat)[:n])  # |field| channel
+
+
+def test_create_default_y0():
+    from distributedconvrl_pde_control_tpu.envs.pde_env import create_default_y0
+
+    y0 = np.asarray(create_default_y0((10, 20)))
+    # reference semantics (PDEenv.jl:8-24): 1.0 where EVERY index is within
+    # the first 40% of its axis
+    assert y0[0, 0] == 1.0 and y0[3, 7] == 1.0
+    assert y0[4, 0] == 0.0 and y0[0, 8] == 0.0
+    assert y0.sum() == 4 * 8
