@@ -46,7 +46,7 @@ def create_default_y0(sim_shape) -> jnp.ndarray:
 class EnvState:
     """Pytree snapshot of the environment (PDEenv.jl:26-62)."""
 
-    y: jnp.ndarray  # PDE field (real 1D/2-field, or complex spectral for fluid)
+    y: jnp.ndarray  # PDE field (real everywhere; fluid keeps the real vorticity)
     obs: jnp.ndarray  # featurized state matrix (obs_dim, n_actuators)
     action: jnp.ndarray  # last action matrix (action_rows, n_actuators)
     delta_action: jnp.ndarray
