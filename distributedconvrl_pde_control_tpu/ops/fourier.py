@@ -34,16 +34,24 @@ _FORCE = os.environ.get("DCRL_FFT_MODE", "auto")  # auto | matmul | native
 def use_matmul_dft(mode: str = "auto") -> bool:
     """Resolve the transform implementation at trace time.
 
-    `mode` overrides per call site ("matmul" | "native"); "auto" defers to
-    the DCRL_FFT_MODE env var, then to the backend (matmul on TPU runtimes).
+    `mode` overrides per call site ("matmul" | "matmul_fast" | "native");
+    "auto" defers to the DCRL_FFT_MODE env var, then to the backend (matmul
+    on TPU runtimes). "matmul_fast" runs the DFT contractions at DEFAULT
+    precision (bf16 passes on the MXU) instead of HIGHEST — only appropriate
+    where the scheme's own accuracy floor is loose (the reference's fluid
+    path integrates at tol 1e0, FluidSetup.jl:179).
     """
     if mode != "auto":
-        return mode == "matmul"
+        return mode in ("matmul", "matmul_fast")
     if _FORCE == "matmul":
         return True
     if _FORCE == "native":
         return False
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _prec(mode: str):
+    return jax.lax.Precision.DEFAULT if mode == "matmul_fast" else _P
 
 
 _P = jax.lax.Precision.HIGHEST
@@ -102,8 +110,8 @@ def rfft(y: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
     y = jnp.moveaxis(y, axis, -1)
     n = y.shape[-1]
     c, s = _rdft_mats(n)
-    re = jnp.matmul(y, c, precision=_P)
-    im = -jnp.matmul(y, s, precision=_P)
+    re = jnp.matmul(y, c, precision=_prec(mode))
+    im = -jnp.matmul(y, s, precision=_prec(mode))
     return jnp.moveaxis(jax.lax.complex(re, im), -1, axis)
 
 
@@ -112,15 +120,16 @@ def irfft(h: jnp.ndarray, n: int, axis: int = -1, mode: str = "auto") -> jnp.nda
         return jnp.fft.irfft(h, n=n, axis=axis)
     h = jnp.moveaxis(h, axis, -1)
     ci, si = _irdft_mats(n)
-    y = jnp.matmul(h.real, ci, precision=_P) - jnp.matmul(h.imag, si, precision=_P)
+    y = jnp.matmul(h.real, ci, precision=_prec(mode)) - jnp.matmul(h.imag, si, precision=_prec(mode))
     return jnp.moveaxis(y, -1, axis)
 
 
 # --------------------------------------------------------------- 1D complex
-def _cmatmul_right(xr, xi, c, s, sign: float):
+def _cmatmul_right(xr, xi, c, s, sign: float, precision=None):
     """(xr + i xi) @ (C + i*sign*S) split into real matmuls."""
-    zr = jnp.matmul(xr, c, precision=_P) - sign * jnp.matmul(xi, s, precision=_P)
-    zi = jnp.matmul(xi, c, precision=_P) + sign * jnp.matmul(xr, s, precision=_P)
+    precision = precision or _P
+    zr = jnp.matmul(xr, c, precision=precision) - sign * jnp.matmul(xi, s, precision=precision)
+    zi = jnp.matmul(xi, c, precision=precision) + sign * jnp.matmul(xr, s, precision=precision)
     return zr, zi
 
 
@@ -130,7 +139,7 @@ def fft(x: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
     x = jnp.moveaxis(x, axis, -1)
     c, s = _dft_mats(x.shape[-1])
     xr, xi = jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
-    zr, zi = _cmatmul_right(xr, xi, c, s, sign=-1.0)  # F = C - iS
+    zr, zi = _cmatmul_right(xr, xi, c, s, sign=-1.0, precision=_prec(mode))  # F = C - iS
     return jnp.moveaxis(jax.lax.complex(zr, zi), -1, axis)
 
 
@@ -141,7 +150,7 @@ def ifft(x: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
     n = x.shape[-1]
     c, s = _dft_mats(n)
     xr, xi = jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
-    zr, zi = _cmatmul_right(xr, xi, c, s, sign=1.0)  # F^-1 = (C + iS)/n
+    zr, zi = _cmatmul_right(xr, xi, c, s, sign=1.0, precision=_prec(mode))  # F^-1 = (C + iS)/n
     return jnp.moveaxis(jax.lax.complex(zr / n, zi / n), -1, axis)
 
 
@@ -149,13 +158,15 @@ def ifft(x: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
 def fft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
     if not use_matmul_dft(mode):
         return jnp.fft.fft2(x)
-    return fft(fft(x, axis=-1, mode="matmul"), axis=-2, mode="matmul")
+    m = "matmul_fast" if mode == "matmul_fast" else "matmul"
+    return fft(fft(x, axis=-1, mode=m), axis=-2, mode=m)
 
 
 def ifft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
     if not use_matmul_dft(mode):
         return jnp.fft.ifft2(x)
-    return ifft(ifft(x, axis=-1, mode="matmul"), axis=-2, mode="matmul")
+    m = "matmul_fast" if mode == "matmul_fast" else "matmul"
+    return ifft(ifft(x, axis=-1, mode=m), axis=-2, mode=m)
 
 
 # ----------------------------------------------------- real/imag split API
@@ -170,7 +181,7 @@ def rfft_ri(y: jnp.ndarray, mode: str = "auto"):
         h = jnp.fft.rfft(y, axis=-1)
         return jnp.real(h), jnp.imag(h)
     c, s = _rdft_mats(y.shape[-1])
-    return jnp.matmul(y, c, precision=_P), -jnp.matmul(y, s, precision=_P)
+    return jnp.matmul(y, c, precision=_prec(mode)), -jnp.matmul(y, s, precision=_prec(mode))
 
 
 def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n: int, mode: str = "auto") -> jnp.ndarray:
@@ -178,7 +189,7 @@ def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n: int, mode: str = "auto") -> jn
     if not use_matmul_dft(mode):
         return jnp.fft.irfft(jax.lax.complex(re, im), n=n, axis=-1)
     ci, si = _irdft_mats(n)
-    return jnp.matmul(re, ci, precision=_P) - jnp.matmul(im, si, precision=_P)
+    return jnp.matmul(re, ci, precision=_prec(mode)) - jnp.matmul(im, si, precision=_prec(mode))
 
 
 def _fft_ri_axis(xr, xi, axis: int, sign: float, mode: str):
@@ -192,7 +203,7 @@ def _fft_ri_axis(xr, xi, axis: int, sign: float, mode: str):
     xi = jnp.moveaxis(xi, axis, -1)
     n = xr.shape[-1]
     c, s = _dft_mats(n)
-    zr, zi = _cmatmul_right(xr, xi, c, s, sign=sign)
+    zr, zi = _cmatmul_right(xr, xi, c, s, sign=sign, precision=_prec(mode))
     if sign > 0:
         zr, zi = zr / n, zi / n
     return jnp.moveaxis(zr, -1, axis), jnp.moveaxis(zi, -1, axis)
