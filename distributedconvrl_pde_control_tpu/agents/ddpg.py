@@ -52,7 +52,8 @@ class DDPGConfig:
     polyak: float = 0.995
     batch_size: int = 3
     start_steps: int = 6
-    start_policy: str = "zero"  # "zero" | "random"
+    start_policy: str = "zero"  # "zero" | "random" | "negate"
+    negate_center_row: int = 0  # obs row for the "negate" start policy
     update_after: int = 10
     update_freq: int = 1
     update_loops: int = 20
@@ -150,11 +151,16 @@ class DDPGAgent:
         )
 
     # ------------------------------------------------------------------- act
-    def start_action(self, key, shape):
-        """Warmup start policy: zeros (ZeroPolicy, PDEagent.jl:420-424) or
-        uniform random (RandomPolicy, KellerSegelSetup.jl:75)."""
+    def start_action(self, key, shape, obs=None):
+        """Warmup start policy: zeros (ZeroPolicy, PDEagent.jl:420-424),
+        uniform random (RandomPolicy, KellerSegelSetup.jl:75), or corrected
+        opposition control ("negate" — an extension for warm-starting DDPG
+        from the classical baseline)."""
         if self.cfg.start_policy == "random":
             return jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0)
+        if self.cfg.start_policy == "negate" and obs is not None:
+            act = -obs[self.cfg.negate_center_row].reshape(1, -1)
+            return jnp.clip(jnp.broadcast_to(act, shape), -1.0, 1.0)
         return jnp.zeros(shape, jnp.float32)
 
     def act(self, astate: DDPGState, obs, key, learning: bool = True):
@@ -172,7 +178,7 @@ class DDPGAgent:
             actions = actions + noise
             # warmup: update_step <= start_steps -> start policy (:180-181)
             in_warmup = astate.update_step <= cfg.start_steps
-            actions = jnp.where(in_warmup, self.start_action(k_start, shape), actions)
+            actions = jnp.where(in_warmup, self.start_action(k_start, shape, obs), actions)
         return jnp.clip(actions, -cfg.act_limit, cfg.act_limit)
 
     # ----------------------------------------------------------------- learn
