@@ -66,6 +66,9 @@ def main(argv=None):
                     help="render the stored best-episode trace instead of a fresh "
                          "rollout (plot_heat(plot_best=true), plotting.jl)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of one training loop "
+                         "into <out>/profile/ and print per-phase timings")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -96,8 +99,24 @@ def main(argv=None):
             ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
             ts, hook = checkpoint.load(args.load_from or out_dir, ts_template)
             print(f"resuming from ep {hook.ep - 1}, best {hook.bestreward:.4f}")
-        ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed,
-                         ts=ts, hook=hook)
+        if args.profile:
+            from distributedconvrl_pde_control_tpu.utils.profiling import StepTimer, trace
+
+            timer = StepTimer()
+            with trace(os.path.join(out_dir, "profile")):
+                with timer.phase("first_loop(compile+train)"):
+                    ts, hook = train(setup, loops=1, no_steps=args.no_steps, seed=args.seed,
+                                     ts=ts, hook=hook, verbose=False)
+            remaining = (args.loops if args.loops is not None else setup.loops) - 1
+            if remaining > 0:
+                with timer.phase("steady_loops"):
+                    ts, hook = train(setup, loops=remaining, no_steps=args.no_steps,
+                                     seed=args.seed, ts=ts, hook=hook, verbose=False)
+            print(timer.summary())
+            print(f"profiler trace -> {out_dir}/profile")
+        else:
+            ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed,
+                             ts=ts, hook=hook)
         checkpoint.save(out_dir, ts, hook)
         plotting.plot_rewards_curve(hook.rewards, os.path.join(out_dir, "rewards.png"),
                                     hook.bestepisode)
