@@ -33,3 +33,15 @@ def test_cli_train_then_eval(tmp_path):
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["pre_control_mean_abs_dev"] > 0
     assert os.path.exists(os.path.join(out, "heat.png"))
+
+
+@pytest.mark.slow
+def test_cli_resume(tmp_path):
+    out = str(tmp_path / "run")
+    r = run_cli("KS22", "--train", "--cpu", "--loops", "1", "--no-steps", "100",
+                "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("KS22", "--train", "--cpu", "--loops", "1", "--no-steps", "100",
+                "--out", out, "--resume", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming from ep" in r.stdout
