@@ -55,9 +55,12 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="continue training from the run dir's checkpoint "
                          "(the reference's load(); train() flow)")
-    ap.add_argument("--p-te", type=float, default=200.0, help="eval horizon (plot_heat p_te)")
-    ap.add_argument("--p-t-action", type=float, default=100.0,
-                    help="eval actuation start time (plot_heat p_t_action)")
+    ap.add_argument("--p-te", type=float, default=None,
+                    help="eval horizon (plot_heat p_te; default 200 for KS-family, "
+                         "6 for fluid, 12 for Keller-Segel)")
+    ap.add_argument("--p-t-action", type=float, default=None,
+                    help="eval actuation start time (default p_te/2; 0 for fluid, "
+                         "matching testrun)")
     ap.add_argument("--video", action="store_true", help="render an mp4 of the eval rollout")
     ap.add_argument("--random-init", action="store_true",
                     help="evaluate from a random initial condition (the hook's "
@@ -92,6 +95,14 @@ def main(argv=None):
     setup = build_setup(args.preset)
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
+
+    # family-aware eval defaults (plot_heat for KS: te=200, act at 100;
+    # testrun for fluid: full episode, immediate actuation)
+    if args.p_te is None:
+        args.p_te = 6.0 if args.preset.startswith("Fluid") else (
+            12.0 if args.preset.startswith("KellerSegel") else 200.0)
+    if args.p_t_action is None:
+        args.p_t_action = 0.0 if args.preset.startswith("Fluid") else args.p_te / 2.0
 
     if args.train:
         ts = hook = None

@@ -51,3 +51,20 @@ def test_batched_replay_fills_and_wraps():
     ts, _ = train_batched(trainer, total_steps=100, chunk_len=20,
                           key=jax.random.PRNGKey(1))
     assert int(ts.replay.size) == 100 * 4 * 8  # steps * envs * actuators
+
+
+def test_y0_pool_resets():
+    import jax.numpy as jnp
+
+    setup = build_ks(KS22)
+    pool = np.stack([np.full(192, 0.1 * (i + 1), np.float32) for i in range(4)])
+    trainer = BatchedTrainer(
+        setup.env, setup.agent,
+        BatchedTrainerConfig(n_envs=8, batch_size=32, update_loops=0),
+        y0_pool=jnp.asarray(pool),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    y0s = np.asarray(ts.env_states.y)
+    # every env's initial field is one of the pool entries
+    for row in y0s:
+        assert any(np.allclose(row, p) for p in pool)
