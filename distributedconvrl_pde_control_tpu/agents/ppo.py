@@ -33,7 +33,12 @@ class PPOConfig:
     na: int
     hidden: int = 64  # PDEagent.jl:477-487
     gamma: float = 0.99
-    gae_lambda: float = 0.95  # the reference passes polyak "p" as lambda (:491)
+    # Deliberate deviation: the reference passes its polyak constant p=0.995
+    # as GAE lambda (PDEagent.jl:491), almost certainly an argument-threading
+    # accident (lambda ~ 1 defeats the variance-reduction purpose of GAE and
+    # the PPO factory ships unused). We default to the conventional 0.95;
+    # pass gae_lambda=0.995 to reproduce the reference's literal value.
+    gae_lambda: float = 0.95
     clip_range: float = 0.2
     n_epochs: int = 10
     n_microbatches: int = 32

@@ -164,17 +164,20 @@ def main(argv=None):
 
     is_fluid = args.preset.startswith("Fluid")
     if is_fluid:
-        energies = {"trained": energy_trace(traces["y"])}
         from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
+        from distributedconvrl_pde_control_tpu.train.eval import mean_energy
 
         neg = NegatePolicy(setup.env.action_shape, center_row=setup.agent.cfg.ns // 2)
-        energies["negate"] = energy_trace(
-            rollout(setup.env, neg, te=args.p_te, t_action=args.p_t_action)["y"]
-        )
         zero = ZeroPolicy(setup.env.action_shape)
-        energies["no action"] = energy_trace(rollout(setup.env, zero, te=args.p_te)["y"])
+        runs = {
+            "trained": traces,
+            "negate": rollout(setup.env, neg, te=args.p_te, t_action=args.p_t_action),
+            "no action": rollout(setup.env, zero, te=args.p_te),
+        }
+        energies = {k: energy_trace(tr["y"]) for k, tr in runs.items()}
         plotting.plot_energy(energies, os.path.join(out_dir, "energy.png"))
-        print({k: float(np.mean(v)) for k, v in energies.items()})
+        # mask by 'active': early-terminated runs freeze their terminal frame
+        print({k: mean_energy(tr) for k, tr in runs.items()})
     else:
         plotting.plot_heat(traces, os.path.join(out_dir, "heat.png"), title=args.preset)
         plotting.plot_sums(traces, os.path.join(out_dir, "sums.png"))

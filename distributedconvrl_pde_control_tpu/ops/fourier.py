@@ -240,15 +240,15 @@ def rfft2_ri(x: jnp.ndarray, mode: str = "auto"):
         h = jnp.fft.rfft2(x)
         return jnp.real(h), jnp.imag(h)
     c, s = _rdft_mats(x.shape[-1])
-    re = jnp.matmul(x, c, precision=_P)
-    im = -jnp.matmul(x, s, precision=_P)
-    return _fft_ri_axis(re, im, -2, -1.0, "matmul")
+    re = jnp.matmul(x, c, precision=_prec(mode))
+    im = -jnp.matmul(x, s, precision=_prec(mode))
+    return _fft_ri_axis(re, im, -2, -1.0, mode)
 
 
 def irfft2_ri_real(re: jnp.ndarray, im: jnp.ndarray, nx: int, mode: str = "auto") -> jnp.ndarray:
     """(re, im) half-spectrum -> real field (ifft along -2, irfft along -1)."""
     if not use_matmul_dft(mode):
         return jnp.fft.irfft2(jax.lax.complex(re, im), s=(re.shape[-2], nx))
-    re, im = _fft_ri_axis(re, im, -2, 1.0, "matmul")
+    re, im = _fft_ri_axis(re, im, -2, 1.0, mode)
     ci, si = _irdft_mats(nx)
-    return jnp.matmul(re, ci, precision=_P) - jnp.matmul(im, si, precision=_P)
+    return jnp.matmul(re, ci, precision=_prec(mode)) - jnp.matmul(im, si, precision=_prec(mode))

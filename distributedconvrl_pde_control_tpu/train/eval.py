@@ -88,9 +88,24 @@ def energy_trace(y_trace: np.ndarray) -> np.ndarray:
     return np.abs(omg.reshape(steps, -1)).sum(axis=1) / n
 
 
+def mean_energy(traces: dict) -> float:
+    """Mean per-step energy over ACTIVE steps only.
+
+    The rollout scan re-emits the frozen terminal state after early
+    termination (fluid check_max_value='reward'); averaging those repeated
+    frames would bias trained-vs-baseline comparisons, so mask by the
+    recorded 'active' flag."""
+    energy = traces["energy"] if "energy" in traces else energy_trace(traces["y"])
+    active = np.asarray(traces["active"], bool)
+    if not active.any():
+        return float("nan")
+    return float(np.asarray(energy)[active].mean())
+
+
 def energy_eval(env: PDEEnv, policy_fn: Callable, y0=None, te: Optional[float] = None,
                 t_action: float = 0.0, key=None):
     """testrun-style evaluation: rollout + energy trace (fluid envs)."""
     traces = rollout(env, policy_fn, y0=y0, te=te, t_action=t_action, key=key)
     traces["energy"] = energy_trace(traces["y"])
+    traces["mean_energy"] = mean_energy(traces)
     return traces

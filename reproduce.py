@@ -75,11 +75,13 @@ def main():
                           ("Fluid_32", lambda: C.build_fluid(C.FLUID_32))]:
         setup, actor = load_actor(builder, f"artifacts/{name}")
         env = setup.env
-        e_t = energy_eval(env, actor_policy(setup.agent, actor), te=2.0)["energy"].mean()
+        # mean_energy masks by the 'active' flag so early-terminated episodes
+        # don't average their frozen terminal frame
+        e_t = energy_eval(env, actor_policy(setup.agent, actor), te=2.0)["mean_energy"]
         e_n = energy_eval(env, NegatePolicy(env.action_shape,
                                             center_row=setup.agent.cfg.ns // 2),
-                          te=2.0)["energy"].mean()
-        e_0 = energy_eval(env, ZeroPolicy(env.action_shape), te=2.0)["energy"].mean()
+                          te=2.0)["mean_energy"]
+        e_0 = energy_eval(env, ZeroPolicy(env.action_shape), te=2.0)["mean_energy"]
         print(json.dumps({"row": f"{name} energy", "trained": round(float(e_t), 3),
                           "corrected_negate": round(float(e_n), 3),
                           "no_action": round(float(e_0), 3)}))
