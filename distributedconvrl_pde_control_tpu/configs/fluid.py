@@ -114,6 +114,12 @@ class FluidConfig:
 FLUID_8 = FluidConfig(name="Fluid_8", seed=531, sensors_per_axis=8, variance=0.08)
 FLUID_16 = FluidConfig(name="Fluid_16", seed=436, sensors_per_axis=16, variance=0.04)
 FLUID_32 = FluidConfig(name="Fluid_32", seed=886, sensors_per_axis=32, variance=0.022)
+# The scale-out preset: TRAIN at the reference's evaluation resolution
+# (FluidSetup.jl:32-36 only evaluates at 256^2 because a single GPU trains
+# at 128^2); the sharded trainer (parallel.multichip) lifts training itself
+# to the big grid across a chip mesh.
+FLUID_8_256 = FluidConfig(name="Fluid_8_256", seed=531, sensors_per_axis=8,
+                          variance=0.08, nx=256)
 
 
 def fluid_error_detection(y: np.ndarray) -> bool:
@@ -124,13 +130,61 @@ def fluid_error_detection(y: np.ndarray) -> bool:
     )
 
 
+def fluid_kernels(cfg: FluidConfig):
+    """Sensor/actuator Taylor-vortex kernels for a preset, shape
+    (n_act, n, n) each (FluidSetup.jl:139-161)."""
+    n = cfg.grid_nx
+    positions = cfg.positions
+    sensors = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=1)
+    actuators = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=2)
+    return sensors, actuators
+
+
+def fluid_featurizer(cfg: FluidConfig, sensor_matrix) -> Conv2DFeaturizer:
+    """The preset's real featurizer (FluidSetup.jl:204-245), incl.
+    actuators_to_sensors mapping and temporal/memory rows. Shared by the
+    single-chip env builder and the sharded trainer (parallel.multichip)."""
+    return Conv2DFeaturizer(
+        sensor_matrix=sensor_matrix,
+        actuators_to_sensors=np.arange(cfg.sensors_per_axis**2),
+        sensors_per_axis=cfg.sensors_per_axis,
+        scale=cfg.sensor_scale,
+        window_size=cfg.window_size,
+        temporal_steps=cfg.temporal_steps,
+        memory_size=cfg.memory_size,
+    )
+
+
+def fluid_agent_config(cfg: FluidConfig, obs_dim: int, capacity: int | None = None) -> DDPGConfig:
+    """The preset's DDPG hyperparameters (FluidSetup.jl:79-95)."""
+    return DDPGConfig(
+        ns=obs_dim,
+        na_rows=1 + cfg.memory_size,
+        n_actuators=cfg.sensors_per_axis**2,
+        gamma=cfg.gamma,
+        polyak=cfg.polyak,
+        batch_size=cfg.batch_size,
+        start_steps=cfg.start_steps,
+        update_after=cfg.update_after,
+        update_freq=cfg.update_freq,
+        update_loops=cfg.update_loops,
+        act_limit=cfg.act_limit,
+        act_noise=cfg.act_noise,
+        memory_size=cfg.memory_size,
+        nna_scale=cfg.nna_scale,
+        nna_scale_critic=cfg.nna_scale_critic,
+        drop_middle_layer=cfg.drop_middle_layer,
+        learning_rate=cfg.learning_rate,
+        learning_rate_critic=cfg.learning_rate_critic,
+        capacity=capacity if capacity is not None else cfg.capacity,
+    )
+
+
 def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
     n = cfg.grid_nx
     solver = NSSolver(nx=n, ny=n, lx=cfg.lx, ly=cfg.lx, nu=cfg.nu, dealias=cfg.dealias)
     n_act = cfg.sensors_per_axis**2
-    positions = cfg.positions
-    sensors = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=1)
-    actuators = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=2)
+    sensors, actuators = fluid_kernels(cfg)
     sensor_matrix = jnp.asarray(sensors.reshape(n_act, -1), jnp.float32)
     actuator_stack = jnp.asarray(actuators.reshape(n_act, -1), jnp.float32)
     a2s = np.arange(n_act)
@@ -144,15 +198,7 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
             window_size=cfg.window_size,
         )
     else:
-        featurizer = Conv2DFeaturizer(
-            sensor_matrix=sensor_matrix,
-            actuators_to_sensors=a2s,
-            sensors_per_axis=cfg.sensors_per_axis,
-            scale=cfg.sensor_scale,
-            window_size=cfg.window_size,
-            temporal_steps=cfg.temporal_steps,
-            memory_size=cfg.memory_size,
-        )
+        featurizer = fluid_featurizer(cfg, sensor_matrix)
 
     def reward_fn(y, action, delta_action):
         """FluidSetup.jl:188-202 (state already real-space)."""
@@ -213,27 +259,7 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
         check_max_value=cfg.check_max_value,
     )
 
-    agent = DDPGAgent(DDPGConfig(
-        ns=featurizer.obs_dim,
-        na_rows=1 + cfg.memory_size,
-        n_actuators=n_act,
-        gamma=cfg.gamma,
-        polyak=cfg.polyak,
-        batch_size=cfg.batch_size,
-        start_steps=cfg.start_steps,
-        update_after=cfg.update_after,
-        update_freq=cfg.update_freq,
-        update_loops=cfg.update_loops,
-        act_limit=cfg.act_limit,
-        act_noise=cfg.act_noise,
-        memory_size=cfg.memory_size,
-        nna_scale=cfg.nna_scale,
-        nna_scale_critic=cfg.nna_scale_critic,
-        drop_middle_layer=cfg.drop_middle_layer,
-        learning_rate=cfg.learning_rate,
-        learning_rate_critic=cfg.learning_rate_critic,
-        capacity=cfg.capacity,
-    ))
+    agent = DDPGAgent(fluid_agent_config(cfg, featurizer.obs_dim))
 
     def random_init(key):
         """generate_random_init (FluidSetup.jl:386-394): random-vortex IC,

@@ -220,8 +220,13 @@ class Conv2DFeaturizer:
     def obs_dim(self) -> int:
         return self.window_size**2 * self.temporal_steps + self.memory_size
 
-    def __call__(self, y, prev_obs=None, action=None):
-        vals = (self.sensor_matrix @ y.reshape(-1)) * self.scale
+    def from_dots(self, dots, prev_obs=None, action=None):
+        """Featurize from precomputed raw sensor dot products <omega, g_i>.
+
+        Split out so spatially sharded solvers can compute the dots as
+        partial matmuls + psum over the mesh (parallel.multichip) and reuse
+        the window/temporal/memory logic verbatim."""
+        vals = dots * self.scale
         spa = self.sensors_per_axis
         sensors = vals.reshape(spa, spa)  # sensor i -> (i // spa, i % spa), FluidSetup.jl:216
         base = _window_stack_2d(sensors, self.window_size)
@@ -229,6 +234,9 @@ class Conv2DFeaturizer:
         return _temporal_and_memory(
             base, prev_obs, action, self.temporal_steps, self.memory_size, self.n_actuators
         )
+
+    def __call__(self, y, prev_obs=None, action=None):
+        return self.from_dots(self.sensor_matrix @ y.reshape(-1), prev_obs, action)
 
 
 @dataclasses.dataclass(frozen=True)

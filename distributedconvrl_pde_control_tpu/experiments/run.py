@@ -29,14 +29,127 @@ def build_setup(name: str):
         "Fluid_8": lambda: C.build_fluid(C.FLUID_8),
         "Fluid_16": lambda: C.build_fluid(C.FLUID_16),
         "Fluid_32": lambda: C.build_fluid(C.FLUID_32),
+        "Fluid_8_256": lambda: C.build_fluid(C.FLUID_8_256),
         "Fluid_8_eval": lambda: C.build_fluid(
             __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
+        ),
+        "Fluid_16_eval": lambda: C.build_fluid(
+            __import__("dataclasses").replace(C.FLUID_16, evaluation=True)
+        ),
+        "Fluid_32_eval": lambda: C.build_fluid(
+            __import__("dataclasses").replace(C.FLUID_32, evaluation=True)
         ),
         "KellerSegel10_16": lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16),
     }
     if name not in builders:
         raise SystemExit(f"unknown preset {name}; choose from {sorted(builders)}")
     return builders[name]()
+
+
+def fluid_config_for(name: str):
+    """The raw FluidConfig behind a fluid preset name (the sharded trainer
+    consumes the config, not the built single-chip Setup)."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu import configs as C
+
+    cfgs = {
+        "Fluid_8": C.FLUID_8,
+        "Fluid_16": C.FLUID_16,
+        "Fluid_32": C.FLUID_32,
+        "Fluid_8_256": C.FLUID_8_256,
+        "Fluid_8_eval": dataclasses.replace(C.FLUID_8, evaluation=True),
+        "Fluid_16_eval": dataclasses.replace(C.FLUID_16, evaluation=True),
+        "Fluid_32_eval": dataclasses.replace(C.FLUID_32, evaluation=True),
+    }
+    return cfgs.get(name)
+
+
+def run_sharded(args) -> None:
+    """`--mesh DPxSP` path: the preset trains/evaluates across a
+    ('dp', 'sp') device mesh (parallel.multichip), checkpointing in the
+    standard format so single-chip eval/resume interoperate."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+        load_actor_for_eval,
+        load_sharded,
+        save_sharded,
+        train_sharded,
+    )
+
+    cfg = fluid_config_for(args.preset)
+    if cfg is None:
+        raise SystemExit(f"--mesh supports fluid presets only, not {args.preset}")
+    import dataclasses
+
+    if args.nx:
+        cfg = dataclasses.replace(cfg, nx=args.nx)
+    if args.horizon:
+        cfg = dataclasses.replace(cfg, te=args.horizon)
+    try:
+        dp, sp = (int(x) for x in args.mesh.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--mesh wants DPxSP (e.g. 4x2), got {args.mesh!r}")
+    devices = jax.devices()
+    if len(devices) < dp * sp:
+        raise SystemExit(f"mesh {dp}x{sp} needs {dp * sp} devices, have "
+                         f"{len(devices)} (hint: --virtual-devices N)")
+    mesh = Mesh(np.asarray(devices[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+
+    tcfg = ShardedTrainConfig(
+        n_envs=args.n_envs or dp,
+        batch_size=args.learner_batch or 32,
+        update_loops=1,
+        capacity_per_dp=args.capacity_per_dp or 100_000,
+        chunk_len=args.chunk_len or 25,
+    )
+    trainer = ShardedFluidTrainer(cfg, mesh, tcfg)
+    out_dir = args.out or os.path.join("runs", args.preset)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.train:
+        state = hook = None
+        if args.resume:
+            agent_state, hook = load_sharded(args.load_from or out_dir, trainer)
+            state = trainer.init(jax.random.PRNGKey(args.seed or cfg.seed))
+            state = state.replace(
+                agent=jax.tree.map(jnp.asarray, agent_state),
+                ep_count=jnp.asarray(hook.ep - 1, jnp.int32),
+                best_reward=jnp.asarray(hook.bestreward, jnp.float32),
+                best_episode=jnp.asarray(hook.bestepisode, jnp.int32),
+            )
+            if hook.best_actor is not None:
+                state = state.replace(
+                    best_actor=jax.tree.map(jnp.asarray, hook.best_actor))
+            print(f"resuming from ep {hook.ep - 1}, best {hook.bestreward:.4f}")
+        state, hook = train_sharded(trainer, loops=args.loops,
+                                    no_steps=args.no_steps,
+                                    seed=args.seed if args.seed is not None else cfg.seed,
+                                    state=state, hook=hook)
+        save_sharded(out_dir, trainer, state, hook)
+        print(hook.ascii_curve())
+        print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} "
+              f"@ ep {hook.bestepisode} (mesh {dp}x{sp}, grid {cfg.grid_nx}^2)")
+        return
+
+    # --eval: sharded testrun — trained policy vs no-action, masked energies
+    actor = load_actor_for_eval(args.load_from or out_dir, trainer)
+    n_steps = int(round((args.p_te or cfg.te) / cfg.dt))
+    t_act = int(round((args.p_t_action or 0.0) / cfg.dt))
+    ev = trainer.make_eval_fn(n_steps, t_action_steps=t_act)
+    w0 = trainer.eval_w0(tcfg.n_envs)
+    energies = {}
+    for label, a, ta in [("trained", actor, t_act), ("no action", actor, n_steps)]:
+        ev_fn = ev if ta == t_act else trainer.make_eval_fn(n_steps, t_action_steps=ta)
+        recs = ev_fn(a, w0)
+        e = np.asarray(recs["energy"])
+        m = np.asarray(recs["active"])
+        energies[label] = float(e[m].mean()) if m.any() else float("nan")
+    print(json.dumps({"mesh": f"{dp}x{sp}", "grid": cfg.grid_nx, **energies}))
 
 
 def main(argv=None):
@@ -69,11 +182,39 @@ def main(argv=None):
                     help="render the stored best-episode trace instead of a fresh "
                          "rollout (plot_heat(plot_best=true), plotting.jl)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--mesh", default=None,
+                    help="train/eval the preset across a DPxSP device mesh "
+                         "(fluid presets; e.g. --mesh 4x2)")
+    ap.add_argument("--virtual-devices", type=int, default=None,
+                    help="force the CPU backend with N virtual devices "
+                         "(exercise --mesh without a multi-chip slice)")
+    ap.add_argument("--n-envs", type=int, default=None,
+                    help="global env batch for --mesh runs (default: dp)")
+    ap.add_argument("--chunk-len", type=int, default=None,
+                    help="fused steps per host round-trip for --mesh runs")
+    ap.add_argument("--learner-batch", type=int, default=None,
+                    help="DDPG learner batch for --mesh runs (default 32)")
+    ap.add_argument("--capacity-per-dp", type=int, default=None,
+                    help="replay capacity per dp shard for --mesh runs")
+    ap.add_argument("--nx", type=int, default=None,
+                    help="override the fluid grid size for --mesh runs")
+    ap.add_argument("--horizon", type=float, default=None,
+                    help="override the episode horizon te for --mesh runs")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of one training loop "
                          "into <out>/profile/ and print per-phase timings")
     args = ap.parse_args(argv)
 
+    if args.virtual_devices:
+        # must precede the first backend query; the axon plugin may force-
+        # register itself at import, so re-point explicitly (same dance as
+        # __graft_entry__.dryrun_multichip)
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu" or jax.device_count() < args.virtual_devices:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+            jax.config.update("jax_num_cpu_devices", args.virtual_devices)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if jax.default_backend() in ("tpu", "axon"):
@@ -85,6 +226,11 @@ def main(argv=None):
             os.path.abspath(__file__)))), ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.mesh:
+        if args.train_multi:
+            raise SystemExit("--train-multi is not supported with --mesh")
+        return run_sharded(args)
 
     from distributedconvrl_pde_control_tpu.train import checkpoint
     from distributedconvrl_pde_control_tpu.train.drivers import train, train_multi

@@ -1,8 +1,10 @@
-"""Full multi-chip DDPG training step: DP env batch x SP spatial sharding.
+"""Preset-driven multi-chip DDPG training: DP env batch x SP spatial sharding.
 
-This is the scale-out centerpiece (BASELINE.json config "512^2 2D grid
-spatially sharded across a v5e-8"): a `shard_map` over a ('dp', 'sp') mesh
-where
+This is the scale-out centerpiece: the reference trains the fluid task on a
+single GPU at 128^2 and can only afford 256^2 at evaluation time
+(/root/reference/scripts/Fluid/setup/FluidSetup.jl:32-47); here the SAME
+experiment preset (`configs.fluid.FluidConfig`) trains end-to-end across a
+('dp', 'sp') chip mesh, lifting training itself to the big grid:
 
   * the env batch is sharded over `dp` (each dp group trains on its own
     envs; DDPG gradients are `pmean`'d over dp — synchronous data-parallel);
@@ -13,34 +15,71 @@ where
     replicated (keys are folded with the dp index ONLY, so every sp member
     of a dp group applies identical actions to its slice of the field).
 
-Everything — solver substeps, featurization, policy, replay pushes, gradient
-steps, episode auto-reset — is one jitted SPMD program.
+Everything — solver substeps, the preset's real featurization (windowed
+sensor dots incl. actuators_to_sensors and temporal/memory rows, via
+`Conv2DFeaturizer.from_dots`), reward, policy, replay pushes, gradient
+steps, episode auto-reset from a fresh-IC pool, and best-actor tracking —
+runs inside one jitted SPMD program; the host only sees per-chunk episode
+records.
+
+Observability parity with the fidelity loop (src/PDEhook.jl):
+  * per-episode mean-reward accounting (emitted per finished episode),
+  * best-actor snapshotting ON DEVICE at episode end (PDEhook.jl:65-76;
+    the snapshot is taken the step the episode finishes, after that step's
+    gradient updates — the same point the reference's PostEpisode hook sees),
+  * checkpoints in the standard light format (`train.checkpoint`), so
+    `experiments.run --eval` consumes sharded-trained artifacts unchanged.
+Not carried over: per-episode error_detection on the final field (would
+require gathering the full field to host every episode; blow-up episodes
+are still terminated and excluded from best tracking).
+
+Replay invariant (load-bearing): the per-dp replay rides in `MCState` with
+a leading dp axis sharded P('dp') — locally shape (1, capacity, ...), the
+leading 1 asserted at trace time. The learning gate is computed from the
+REPLICATED `global_step` counter (every dp shard pushes the same
+`n_local_envs * n_actuators` rows per step), so both `lax.cond` branches are
+taken uniformly across the mesh and the `pmean` inside `learn_batch` is
+always collective — this replaces round 1's comment-based invariant.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGConfig, DDPGState
-from distributedconvrl_pde_control_tpu.agents.replay import (
-    Replay,
-    replay_init,
-    replay_sample,
+from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGState
+from distributedconvrl_pde_control_tpu.agents.replay import Replay, replay_init, replay_sample
+from distributedconvrl_pde_control_tpu.configs.fluid import (
+    FluidConfig,
+    fluid_agent_config,
+    fluid_featurizer,
+    fluid_kernels,
 )
-from distributedconvrl_pde_control_tpu.envs.features import _window_stack_2d, taylor_kernels_2d
 from distributedconvrl_pde_control_tpu.ops.navier_stokes import initial_condition
 from distributedconvrl_pde_control_tpu.parallel.ns_sharded import (
     NSShardedSolverRI,
-    ShardedOps,
     make_sharded_ops,
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedTrainConfig:
+    """Scale-out knobs of the sharded trainer (everything physics/agent
+    comes from the `FluidConfig` preset)."""
+
+    n_envs: int = 8  # global env batch, sharded over dp
+    batch_size: int = 32  # learner batch (scaled up from the reference's 3)
+    update_loops: int = 1  # gradient steps per env step
+    capacity_per_dp: int = 100_000
+    y0_pool_size: int = 8  # fresh-IC pool for in-graph episode resets
+    chunk_len: int = 25  # fused steps per host round-trip
 
 
 @struct.dataclass
@@ -48,263 +87,564 @@ class MCState:
     """Global (pre-shard_map) training state."""
 
     w: jnp.ndarray  # (B, ny, nx) float32 — REAL vorticity, y-pencil sharded
-    obs: jnp.ndarray  # (B, ns, n_act)
+    obs: jnp.ndarray  # (B, obs_dim, n_act)
     action: jnp.ndarray  # (B, na_rows, n_act)
-    steps: jnp.ndarray  # (B,) int32
+    steps: jnp.ndarray  # (B,) int32 — per-env episode step counter
+    ep_reward: jnp.ndarray  # (B,) f32 — running sum of per-step mean rewards
     agent: DDPGState  # replicated
     replay: Replay  # arrays lead with the dp dimension
     key: jnp.ndarray  # replicated
+    global_step: jnp.ndarray  # i32 replicated — total train steps taken
+    ep_count: jnp.ndarray  # i32 replicated — episodes finished (all envs)
+    best_reward: jnp.ndarray  # f32 replicated (PDEhook bestreward)
+    best_episode: jnp.ndarray  # i32 replicated
+    best_actor: list  # replicated actor pytree (PDEhook bestNNA)
     mean_reward: jnp.ndarray  # scalar diagnostics
 
 
-@dataclasses.dataclass(frozen=True)
-class MultichipFluidConfig:
-    nx: int = 128
-    lx: float = 1.0
-    nu: float = 5e-5
-    sensors_per_axis: int = 8
-    variance: float = 0.08
-    te: float = 6.0
-    dt: float = 0.02
-    oversampling: int = 8
-    max_reward: float = 3.0
-    agent_power: float = 70.0
-    action_punish: float = 0.002
-    delta_action_punish: float = 0.002
-    sensor_scale: float = 1.0 / 70.0
-    reward_norm: float = 320.0
-    reward_pow: float = 1.1
-    window_size: int = 3
-    n_envs: int = 8
-    batch_size: int = 32
-    update_loops: int = 1
-    capacity_per_dp: int = 50_000
-
-    @property
-    def n_act(self) -> int:
-        return self.sensors_per_axis**2
-
-    @property
-    def ns(self) -> int:
-        return self.window_size**2
-
-    @property
-    def max_steps(self) -> int:
-        return int(round(self.te / self.dt))
+@struct.dataclass
+class EvalState:
+    w: jnp.ndarray
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    steps: jnp.ndarray
+    done: jnp.ndarray
 
 
-class MultichipFluidTrainer:
-    """Builds the sharded arrays and the jitted SPMD train-step program."""
+def _local(x):
+    """Strip the leading per-dp axis of a replay leaf; the local size-1
+    axis is the shard_map contract, asserted here so layout regressions
+    fail at trace time instead of silently training on garbage."""
+    assert x.shape[0] == 1, f"per-dp replay leaf has local leading dim {x.shape[0]}, want 1"
+    return x[0]
 
-    def __init__(self, cfg: MultichipFluidConfig, mesh: Mesh,
-                 agent_cfg: DDPGConfig | None = None):
+
+class ShardedFluidTrainer:
+    """Builds the sharded arrays and the jitted SPMD programs for a fluid
+    experiment preset."""
+
+    def __init__(self, cfg: FluidConfig, mesh: Mesh,
+                 tcfg: ShardedTrainConfig = ShardedTrainConfig()):
         assert "dp" in mesh.axis_names and "sp" in mesh.axis_names
         self.cfg = cfg
+        self.tcfg = tcfg
         self.mesh = mesh
         self.n_dp = mesh.shape["dp"]
         self.n_sp = mesh.shape["sp"]
-        assert cfg.nx % self.n_sp == 0, "grid must divide over sp"
-        assert cfg.n_envs % self.n_dp == 0, "env batch must divide over dp"
+        n = cfg.grid_nx
+        self.n = n
+        assert n % self.n_sp == 0, "grid must divide over sp"
+        assert tcfg.n_envs % self.n_dp == 0, "env batch must divide over dp"
         self.solver = NSShardedSolverRI(nu=cfg.nu, sp_axis="sp")
-        self.ops = make_sharded_ops(cfg.nx, cfg.nx, cfg.lx, cfg.lx)
+        self.ops = make_sharded_ops(n, n, cfg.lx, cfg.lx)
 
-        n = cfg.nx
-        positions = [
-            (i, j)
-            for i in range(1, n + 1, n // cfg.sensors_per_axis)
-            for j in range(1, n + 1, n // cfg.sensors_per_axis)
-        ]
-        sens = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=1)
-        acts = taylor_kernels_2d(positions, n, n, cfg.lx, cfg.lx, cfg.variance, norm_mode=2)
+        n_act = cfg.sensors_per_axis**2
+        self.n_act = n_act
+        sens, acts = fluid_kernels(cfg)
         self.sensor_kernels = jnp.asarray(sens, jnp.float32)  # (n_act, ny, nx)
         self.actuator_kernels = jnp.asarray(acts, jnp.float32)
+        self.featurizer = fluid_featurizer(
+            cfg, jnp.asarray(sens.reshape(n_act, -1), jnp.float32)
+        )
+        self.agent = DDPGAgent(
+            fluid_agent_config(cfg, self.featurizer.obs_dim, capacity=tcfg.capacity_per_dp)
+        )
+        self.max_steps = int(math.ceil((cfg.te - cfg.t0) / cfg.dt - 1e-9))
 
-        self.agent = DDPGAgent(agent_cfg or DDPGConfig(
-            ns=cfg.ns, na_rows=1, n_actuators=cfg.n_act,
-            nna_scale=1.8, nna_scale_critic=17.0, drop_middle_layer=True,
-            start_steps=2, update_after=2, capacity=cfg.capacity_per_dp,
-        ))
-
-        self._specs = dict(
+        acfg = self.agent.cfg
+        self._state_specs = MCState(
             w=P("dp", "sp", None),  # y-pencil: rows sharded over sp
             obs=P("dp"),
             action=P("dp"),
             steps=P("dp"),
+            ep_reward=P("dp"),
             agent=P(),
             replay=P("dp"),
             key=P(),
+            global_step=P(),
+            ep_count=P(),
+            best_reward=P(),
+            best_episode=P(),
+            best_actor=P(),
             mean_reward=P(),
         )
-        self._ops_spec = P(None, "sp")  # x-pencil operator slices
+        self._ops_spec = jax.tree.map(lambda _: P(None, "sp"), self.ops)  # x-pencil slices
         self._kern_spec = P(None, "sp", None)  # y-pencil kernel slices
+        self._pool_spec = P(None, "sp", None)
+        self._acfg = acfg
 
     # -------------------------------------------------------------- helpers
     def _sensor_dots(self, w_local, sens_local):
-        """Per-env sensor inner products with psum over sp.
+        """Per-env raw sensor inner products <omega, g_i> with psum over sp.
 
         w_local: (Bl, ny/S, nx) real y-pencil blocks -> (Bl, n_act) dots."""
         flat = w_local.reshape(w_local.shape[0], -1)
-        partial_dots = flat @ sens_local.reshape(self.cfg.n_act, -1).T
+        partial_dots = flat @ sens_local.reshape(self.n_act, -1).T
         return jax.lax.psum(partial_dots, "sp")
 
-    def _featurize(self, dots):
-        """(Bl, n_act) sensor dots -> (Bl, ns, n_act) windowed observations."""
-        spa = self.cfg.sensors_per_axis
-        sensors = (dots * self.cfg.sensor_scale).reshape(-1, spa, spa)
-        return jax.vmap(lambda s: _window_stack_2d(s, self.cfg.window_size))(sensors)
+    def _featurize(self, dots, prev_obs, action):
+        """(Bl, n_act) raw dots -> (Bl, obs_dim, n_act) via the preset's real
+        featurizer (window + actuators_to_sensors + temporal/memory rows)."""
+        return jax.vmap(lambda d, po, a: self.featurizer.from_dots(d, po, a))(
+            dots, prev_obs, action
+        )
+
+    def _featurize_reset(self, dots):
+        """Featurize at episode start (prev_obs/action None: temporal blocks
+        tiled, memory rows zero — KSSetup.jl:209-228 semantics)."""
+        return jax.vmap(lambda d: self.featurizer.from_dots(d, None, None))(dots)
+
+    def _reward(self, dots, actions, delta):
+        """The preset's reward (FluidSetup.jl:188-202): -|<w,g>|^pow/norm
+        - ap*a^2 - dap*da^2, per actuator."""
+        cfg = self.cfg
+        rdots = jnp.abs(dots) ** cfg.reward_pow / cfg.reward_norm
+        return (
+            -jnp.abs(rdots)
+            - cfg.action_punish * actions[:, 0, :] ** 2
+            - cfg.delta_action_punish * delta[:, 0, :] ** 2
+        )
+
+    def _make_pool(self, seed: int) -> np.ndarray:
+        """Fresh-IC pool for in-graph resets: the host-side random-vortex
+        generator (generate_random_init, FluidSetup.jl:386-394; case 3 train
+        / 4 eval), pre-drawn because ifft-of-random-vortices is host code."""
+        cfg = self.cfg
+        rng = np.random.default_rng(seed)
+        case = 4 if cfg.evaluation else 3
+        return np.stack([
+            np.fft.ifft2(initial_condition(case, self.n, self.n, cfg.lx, cfg.lx, rng)).real
+            for _ in range(self.tcfg.y0_pool_size)
+        ]).astype(np.float32)
+
+    def _shardings(self, specs):
+        return jax.tree.map(lambda s: NamedSharding(self.mesh, s), specs,
+                            is_leaf=lambda x: isinstance(x, P))
 
     # ------------------------------------------------------------------ init
     def init(self, key, seed: int = 0) -> MCState:
-        cfg = self.cfg
-        rng = np.random.default_rng(seed)
-        w0 = np.stack([
-            np.fft.ifft2(initial_condition(3, cfg.nx, cfg.nx, cfg.lx, cfg.lx, rng)).real
-            for _ in range(cfg.n_envs)
-        ]).astype(np.float32)
+        cfg, tcfg = self.cfg, self.tcfg
+        pool = self._make_pool(seed)
+        self.pool = jax.device_put(
+            jnp.asarray(pool), NamedSharding(self.mesh, self._pool_spec)
+        )
+        w0 = pool[np.arange(tcfg.n_envs) % pool.shape[0]]
         k_agent, k_run = jax.random.split(key)
         astate = self.agent.init_state(k_agent)
-        replay1 = replay_init(cfg.capacity_per_dp, cfg.ns, 1)
+        acfg = self._acfg
+        replay1 = replay_init(tcfg.capacity_per_dp, acfg.ns, acfg.na_rows)
         replay = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (self.n_dp,) + x.shape), replay1
         )
-        # initial observations from the initial fields (computed unsharded —
-        # init is host-side one-off)
-        y0r = w0.reshape(cfg.n_envs, -1)
-        dots = y0r @ np.asarray(self.sensor_kernels).reshape(cfg.n_act, -1).T
-        obs0 = np.stack([
-            np.asarray(_window_stack_2d(jnp.asarray(
-                (d * cfg.sensor_scale).reshape(cfg.sensors_per_axis, cfg.sensors_per_axis)
-            ), cfg.window_size))
-            for d in dots
-        ])
-        return MCState(
+        # initial observations from the initial fields (host-side one-off)
+        dots0 = w0.reshape(tcfg.n_envs, -1) @ np.asarray(self.sensor_kernels).reshape(
+            self.n_act, -1).T
+        obs0 = np.asarray(self._featurize_reset(jnp.asarray(dots0)))
+        state = MCState(
             w=jnp.asarray(w0),
             obs=jnp.asarray(obs0, jnp.float32),
-            action=jnp.zeros((cfg.n_envs, 1, cfg.n_act), jnp.float32),
-            steps=jnp.zeros((cfg.n_envs,), jnp.int32),
+            action=jnp.zeros((tcfg.n_envs, acfg.na_rows, self.n_act), jnp.float32),
+            steps=jnp.zeros((tcfg.n_envs,), jnp.int32),
+            ep_reward=jnp.zeros((tcfg.n_envs,), jnp.float32),
             agent=astate,
             replay=replay,
             key=k_run,
+            global_step=jnp.asarray(0, jnp.int32),
+            ep_count=jnp.asarray(0, jnp.int32),
+            best_reward=jnp.asarray(-jnp.inf, jnp.float32),
+            best_episode=jnp.asarray(0, jnp.int32),
+            best_actor=jax.tree.map(jnp.copy, astate.actor),
             mean_reward=jnp.asarray(0.0, jnp.float32),
         )
+        return jax.device_put(state, self._shardings(self._state_specs))
 
     # ------------------------------------------------------------- the step
-    def make_train_step(self):
-        cfg = self.cfg
-        agent = self.agent
-        acfg = agent.cfg
-        solver = self.solver
-        n_act = cfg.n_act
+    def _local_step(self, state: MCState, ops, sens, akern, pool):
+        """One SPMD training step on local shards. Returns (state', records)."""
+        cfg, tcfg = self.cfg, self.tcfg
+        agent, acfg = self.agent, self._acfg
+        n_act = self.n_act
 
-        def local_step(state: MCState, ops: ShardedOps, sens, akern, w0_local):
-            dp_idx = jax.lax.axis_index("dp")
-            key, k_act, k_learn = jax.random.split(state.key, 3)
-            k_act_dp = jax.random.fold_in(k_act, dp_idx)
-            k_learn_dp = jax.random.fold_in(k_learn, dp_idx)
+        dp_idx = jax.lax.axis_index("dp")
+        key, k_act, k_learn, k_reset = jax.random.split(state.key, 4)
+        k_act_dp = jax.random.fold_in(k_act, dp_idx)
+        k_learn_dp = jax.random.fold_in(k_learn, dp_idx)
+        k_reset_dp = jax.random.fold_in(k_reset, dp_idx)
 
-            bl = state.obs.shape[0]
-            astate = state.agent.replace(update_step=state.agent.update_step + 1)
+        bl = state.obs.shape[0]  # local envs per dp group
+        astate = state.agent.replace(update_step=state.agent.update_step + 1)
+        global_step = state.global_step + 1
 
-            # ---- policy over all local actuator columns
-            obs_flat = jnp.moveaxis(state.obs, 0, 1).reshape(acfg.ns, bl * n_act)
-            actions_flat = agent.act(astate, obs_flat, k_act_dp, learning=True)
-            actions = jnp.moveaxis(actions_flat.reshape(1, bl, n_act), 1, 0)
-            delta = actions - state.action
+        # ---- policy over all local actuator columns (shared-MLP batching)
+        obs_flat = jnp.moveaxis(state.obs, 0, 1).reshape(acfg.ns, bl * n_act)
+        actions_flat = agent.act(astate, obs_flat, k_act_dp, learning=True)
+        actions = jnp.moveaxis(actions_flat.reshape(acfg.na_rows, bl, n_act), 1, 0)
+        delta = actions - state.action
 
-            # ---- forcing: real-space smear on the local y-pencil rows
-            f_real = cfg.agent_power * jnp.einsum(
-                "bn,nyx->byx", actions[:, 0, :], akern
-            )
+        # ---- forcing: real-space smear on the local y-pencil rows
+        # (prepare_action, FluidSetup.jl:247-261; row 0 = the physical action)
+        f_real = cfg.agent_power * jnp.einsum("bn,nyx->byx", actions[:, 0, :], akern)
 
-            # ---- solver (split-component transpose-FFT RK4)
-            w_new = solver.step_real(state.w, f_real, ops, cfg.dt, cfg.oversampling)
+        # ---- solver (split-component transpose-FFT RK4)
+        w_new = self.solver.step_real(state.w, f_real, ops, cfg.dt, cfg.oversampling)
 
-            # ---- sensors, obs, reward
-            dots = self._sensor_dots(w_new, sens)  # (Bl, n_act)
-            obs_new = self._featurize(dots)
-            rdots = jnp.abs(dots) ** cfg.reward_pow / cfg.reward_norm
-            reward = (
-                -jnp.abs(rdots)
-                - cfg.action_punish * actions[:, 0, :] ** 2
-                - cfg.delta_action_punish * delta[:, 0, :] ** 2
-            )
-            steps = state.steps + 1
-            done = jnp.logical_or(
-                steps >= cfg.max_steps,
-                jnp.max(jnp.abs(reward), axis=-1) > cfg.max_reward,
-            )
+        # ---- sensors, obs, reward
+        dots = self._sensor_dots(w_new, sens)  # (Bl, n_act) raw
+        obs_new = self._featurize(dots, state.obs, actions)
+        reward = self._reward(dots, actions, delta)
+        steps = state.steps + 1
 
-            # ---- replay push (local, per dp shard; identical across sp)
-            rb = jax.tree.map(lambda x: x[0], state.replay)
-            n_push = bl * n_act
-            capacity = rb.s.shape[0]
-            idx = (rb.ptr + jnp.arange(n_push, dtype=jnp.int32)) % capacity
-            t_flat = jnp.repeat(done.astype(jnp.float32), n_act)
-            rb = rb.replace(
-                s=rb.s.at[idx].set(obs_flat.T),
-                a=rb.a.at[idx].set(actions_flat.T),
-                r=rb.r.at[idx].set(reward.reshape(-1)),
-                t=rb.t.at[idx].set(t_flat),
-                sn=rb.sn.at[idx].set(jnp.moveaxis(obs_new, 0, 1).reshape(acfg.ns, -1).T),
-                ptr=(rb.ptr + n_push) % capacity,
-                size=jnp.minimum(rb.size + n_push, capacity),
-            )
+        # ---- termination (PDEenv.jl:226-240 semantics)
+        finite = jnp.all(jnp.isfinite(reward), axis=-1)
+        if cfg.check_max_value == "reward":
+            blowup = jnp.max(jnp.abs(reward), axis=-1) > cfg.max_value
+        elif cfg.check_max_value == "y":
+            local_max = jnp.max(jnp.abs(w_new.reshape(bl, -1)), axis=-1)
+            blowup = jax.lax.pmax(local_max, "sp") > cfg.max_value
+        else:
+            blowup = jnp.zeros((bl,), bool)
+        blowup = jnp.logical_or(blowup, jnp.logical_not(finite))
+        horizon = steps >= self.max_steps
+        done = jnp.logical_or(horizon, blowup)
+        completed = jnp.logical_and(horizon, jnp.logical_not(blowup))
 
-            # ---- learning: local sample, dp-pmean'd gradients
-            can = rb.size > acfg.update_after * n_act
-
-            def do_learn(a):
-                def one(a, k):
-                    batch = replay_sample(rb, k, cfg.batch_size, 0)
-                    return agent.learn_batch(a, batch, axis_name="dp"), None
-
-                a, _ = jax.lax.scan(
-                    one, a, jax.random.split(k_learn_dp, cfg.update_loops)
-                )
-                return a
-
-            # NOTE: both branches run pmean-compatible code on every dp
-            # member because `can` is replicated (same replay schedule).
-            astate = jax.lax.cond(can, do_learn, lambda a: a, astate)
-
-            # ---- auto-reset finished envs to the initial condition
-            donec = done.reshape(bl, 1, 1)
-            w_out = jnp.where(donec, w0_local, w_new)
-            obs0 = self._featurize(self._sensor_dots(w0_local, sens))
-            obs_out = jnp.where(donec, obs0, obs_new)
-            action_out = jnp.where(donec, jnp.zeros_like(actions), actions)
-            steps_out = jnp.where(done, 0, steps)
-
-            mean_r = jax.lax.pmean(jnp.mean(reward), "dp")
-            return MCState(
-                w=w_out,
-                obs=obs_out,
-                action=action_out,
-                steps=steps_out,
-                agent=astate,
-                replay=jax.tree.map(lambda x: x[None], rb),
-                key=key,
-                mean_reward=mean_r,
-            )
-
-        state_specs = MCState(
-            w=self._specs["w"], obs=self._specs["obs"], action=self._specs["action"],
-            steps=self._specs["steps"], agent=self._specs["agent"],
-            replay=self._specs["replay"], key=self._specs["key"],
-            mean_reward=self._specs["mean_reward"],
+        # ---- replay push (local, per dp shard; identical across sp)
+        rb = jax.tree.map(_local, state.replay)
+        n_push = bl * n_act
+        capacity = rb.s.shape[0]
+        idx = (rb.ptr + jnp.arange(n_push, dtype=jnp.int32)) % capacity
+        t_flat = jnp.repeat(done.astype(jnp.float32), n_act)
+        safe_r = jnp.where(jnp.isfinite(reward), reward, -cfg.max_value)
+        rb = rb.replace(
+            s=rb.s.at[idx].set(obs_flat.T),
+            a=rb.a.at[idx].set(actions_flat.T),
+            r=rb.r.at[idx].set(safe_r.reshape(-1)),
+            t=rb.t.at[idx].set(t_flat),
+            sn=rb.sn.at[idx].set(jnp.moveaxis(obs_new, 0, 1).reshape(acfg.ns, -1).T),
+            ptr=(rb.ptr + n_push) % capacity,
+            size=jnp.minimum(rb.size + n_push, capacity),
         )
-        ops_specs = jax.tree.map(lambda _: self._ops_spec, self.ops)
 
+        # ---- learning: local sample, dp-pmean'd gradients. The gate depends
+        # only on REPLICATED quantities (global_step), so every mesh member
+        # takes the same cond branch and the pmean is always collective.
+        size_det = jnp.minimum(global_step * n_push, capacity)
+        can = jnp.logical_and(
+            size_det > acfg.update_after * n_act,
+            astate.update_step % acfg.update_freq == 0,
+        )
+
+        def do_learn(a):
+            def one(a, k):
+                batch = replay_sample(rb, k, tcfg.batch_size, 0)
+                return agent.learn_batch(a, batch, axis_name="dp"), None
+
+            a, _ = jax.lax.scan(one, a, jax.random.split(k_learn_dp, tcfg.update_loops))
+            return a
+
+        astate = jax.lax.cond(can, do_learn, lambda a: a, astate)
+
+        # ---- episode accounting + on-device best-actor tracking
+        step_mean_r = jnp.where(
+            jnp.isfinite(reward), reward, -cfg.max_value
+        ).mean(axis=-1)  # (Bl,)
+        ep_r = state.ep_reward + step_mean_r
+        n_finished = jax.lax.psum(jnp.sum(done.astype(jnp.int32)), "dp")
+        ep_count = state.ep_count + n_finished
+        cand = jnp.where(jnp.logical_and(done, completed), ep_r, -jnp.inf)
+        cand_max = jax.lax.pmax(jnp.max(cand), "dp")
+        is_better = jnp.logical_and(
+            cand_max > state.best_reward, ep_count >= self.cfg.min_best_episode
+        )
+        best_actor = jax.tree.map(
+            lambda b, c: jnp.where(is_better, c, b), state.best_actor, astate.actor
+        )
+        best_reward = jnp.where(is_better, cand_max, state.best_reward)
+        best_episode = jnp.where(is_better, ep_count, state.best_episode)
+
+        # ---- auto-reset finished envs with fresh ICs from the pool
+        pool_idx = jax.random.randint(k_reset_dp, (bl,), 0, pool.shape[0])
+        w0_local = pool[pool_idx]
+        donec = done.reshape(bl, 1, 1)
+        w_out = jnp.where(donec, w0_local, w_new)
+        obs0 = self._featurize_reset(self._sensor_dots(w0_local, sens))
+        obs_out = jnp.where(donec, obs0, obs_new)
+        action_out = jnp.where(donec, jnp.zeros_like(actions), actions)
+        steps_out = jnp.where(done, 0, steps)
+        ep_r_out = jnp.where(done, 0.0, ep_r)
+
+        mean_r = jax.lax.pmean(jnp.mean(step_mean_r), "dp")
+        new_state = MCState(
+            w=w_out,
+            obs=obs_out,
+            action=action_out,
+            steps=steps_out,
+            ep_reward=ep_r_out,
+            agent=astate,
+            replay=jax.tree.map(lambda x: x[None], rb),
+            key=key,
+            global_step=global_step,
+            ep_count=ep_count,
+            best_reward=best_reward,
+            best_episode=best_episode,
+            best_actor=best_actor,
+            mean_reward=mean_r,
+        )
+        records = {
+            "finished": done,  # (Bl,)
+            "completed": completed,
+            "ep_reward": ep_r,
+            "mean_reward": mean_r,
+        }
+        return new_state, records
+
+    def make_chunk_fn(self, n_steps: int):
+        """Compile `n_steps` fused SPMD train steps into one program.
+
+        Returns (state', records) where records arrays lead with the step
+        axis: finished/completed/ep_reward (n_steps, n_envs), mean_reward
+        (n_steps,)."""
+
+        def chunk_local(state, ops, sens, akern, pool):
+            def body(s, _):
+                return self._local_step(s, ops, sens, akern, pool)
+
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        rec_specs = {
+            "finished": P(None, "dp"),
+            "completed": P(None, "dp"),
+            "ep_reward": P(None, "dp"),
+            "mean_reward": P(),
+        }
         sharded = shard_map(
-            local_step,
+            chunk_local,
             mesh=self.mesh,
-            in_specs=(state_specs, ops_specs, self._kern_spec, self._kern_spec,
-                      P("dp", "sp", None)),
-            out_specs=state_specs,
+            in_specs=(self._state_specs, self._ops_spec, self._kern_spec,
+                      self._kern_spec, self._pool_spec),
+            out_specs=(self._state_specs, rec_specs),
             check_vma=False,
         )
 
-        def train_step(state: MCState, w0):
-            return sharded(state, self.ops, self.sensor_kernels, self.actuator_kernels, w0)
+        def chunk(state: MCState):
+            return sharded(state, self.ops, self.sensor_kernels,
+                           self.actuator_kernels, self.pool)
 
-        return jax.jit(train_step)
+        return jax.jit(chunk, donate_argnums=0)
+
+    # --------------------------------------------------------------- eval
+    def make_eval_fn(self, n_steps: int, t_action_steps: int = 0):
+        """Sharded evaluation rollout (the testrun protocol,
+        FluidSetup.jl:400-537): deterministic policy, no replay/learning,
+        per-step energy sum(|omega|)/(nx*ny). Early-terminated envs freeze.
+
+        Returns a jitted fn (actor_params, w0 (B, ny, nx)) ->
+        {energy, reward_mean, active: (n_steps, B)}."""
+        cfg = self.cfg
+        agent, acfg = self.agent, self._acfg
+        n_act = self.n_act
+        npts = self.n * self.n
+
+        def local_eval(actor, w0_local, ops, sens, akern):
+            bl = w0_local.shape[0]
+            obs0 = self._featurize_reset(self._sensor_dots(w0_local, sens))
+            est = EvalState(
+                w=w0_local,
+                obs=obs0,
+                action=jnp.zeros((bl, acfg.na_rows, n_act), jnp.float32),
+                steps=jnp.zeros((bl,), jnp.int32),
+                done=jnp.zeros((bl,), bool),
+            )
+
+            def body(est, step_idx):
+                obs_flat = jnp.moveaxis(est.obs, 0, 1).reshape(acfg.ns, bl * n_act)
+                a_flat = jnp.clip(agent.actor_apply(actor, obs_flat),
+                                  -acfg.act_limit, acfg.act_limit)
+                actions = jnp.moveaxis(a_flat.reshape(acfg.na_rows, bl, n_act), 1, 0)
+                actions = jnp.where(step_idx < t_action_steps,
+                                    jnp.zeros_like(actions), actions)
+                delta = actions - est.action
+                f_real = cfg.agent_power * jnp.einsum(
+                    "bn,nyx->byx", actions[:, 0, :], akern)
+                w_new = self.solver.step_real(est.w, f_real, ops, cfg.dt,
+                                              cfg.oversampling)
+                dots = self._sensor_dots(w_new, sens)
+                obs_new = self._featurize(dots, est.obs, actions)
+                reward = self._reward(dots, actions, delta)
+                finite = jnp.all(jnp.isfinite(reward), axis=-1)
+                if cfg.check_max_value == "reward":
+                    blowup = jnp.max(jnp.abs(reward), axis=-1) > cfg.max_value
+                elif cfg.check_max_value == "y":
+                    blowup = jax.lax.pmax(
+                        jnp.max(jnp.abs(w_new.reshape(bl, -1)), axis=-1), "sp"
+                    ) > cfg.max_value
+                else:
+                    blowup = jnp.zeros((bl,), bool)
+                blowup = jnp.logical_or(blowup, jnp.logical_not(finite))
+                active = jnp.logical_not(est.done)
+                keep = jnp.logical_and(active, jnp.logical_not(blowup))
+                keepc = keep.reshape(bl, 1, 1)
+                w_out = jnp.where(keepc, w_new, est.w)
+                energy = jax.lax.psum(
+                    jnp.sum(jnp.abs(w_out.reshape(bl, -1)), axis=-1), "sp") / npts
+                est = EvalState(
+                    w=w_out,
+                    obs=jnp.where(keepc, obs_new, est.obs),
+                    action=jnp.where(keepc, actions, est.action),
+                    steps=est.steps + active.astype(jnp.int32),
+                    done=jnp.logical_or(est.done, blowup),
+                )
+                rec = {
+                    "energy": energy,
+                    "reward_mean": jnp.where(keep, reward.mean(-1), 0.0),
+                    "active": keep,
+                }
+                return est, rec
+
+            _, recs = jax.lax.scan(body, est, jnp.arange(n_steps))
+            return recs
+
+        rec_specs = {"energy": P(None, "dp"), "reward_mean": P(None, "dp"),
+                     "active": P(None, "dp")}
+        sharded = shard_map(
+            local_eval,
+            mesh=self.mesh,
+            in_specs=(P(), P("dp", "sp", None), self._ops_spec,
+                      self._kern_spec, self._kern_spec),
+            out_specs=rec_specs,
+            check_vma=False,
+        )
+
+        def evaluate(actor_params, w0):
+            return sharded(actor_params, w0, self.ops, self.sensor_kernels,
+                           self.actuator_kernels)
+
+        return jax.jit(evaluate)
+
+    def eval_w0(self, n_envs: int | None = None) -> jnp.ndarray:
+        """Evaluation initial fields: the preset's canonical y0 (seeded
+        case-4 random vortices, FluidSetup.jl:33-37) replicated over the
+        eval env batch."""
+        cfg = self.cfg
+        n_envs = n_envs or self.tcfg.n_envs
+        rng = np.random.default_rng(cfg.grid_seed)
+        y0 = np.fft.ifft2(
+            initial_condition(4, self.n, self.n, cfg.lx, cfg.lx, rng)
+        ).real.astype(np.float32)
+        w0 = np.broadcast_to(y0, (n_envs,) + y0.shape)
+        return jax.device_put(jnp.asarray(w0),
+                              NamedSharding(self.mesh, P("dp", "sp", None)))
+
+
+# ------------------------------------------------------------------ drivers
+def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
+                  no_steps: int | None = None, seed: int = 0,
+                  state: MCState | None = None, hook=None, verbose: bool = True):
+    """The preset training protocol on the mesh: `loops` rounds of `no_steps`
+    fused steps with act_noise decayed per round and rewards clamped
+    (FluidSetup.jl:541-556 lifted to chunked SPMD execution).
+
+    Returns (MCState, PDEHook). The hook is assembled from the per-chunk
+    episode records + the on-device best tracking, in the same format the
+    fidelity loop produces, so `train.checkpoint.save` ships it unchanged.
+    """
+    import time
+
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+
+    cfg, tcfg = trainer.cfg, trainer.tcfg
+    loops = loops if loops is not None else cfg.loops
+    no_steps = no_steps if no_steps is not None else cfg.no_steps
+    if state is None:
+        state = trainer.init(jax.random.PRNGKey(seed), seed=seed)
+    if hook is None:
+        hook = PDEHook(min_best_episode=cfg.min_best_episode,
+                       collect_best_trace=False)
+    chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
+
+    noise = float(state.agent.act_noise)
+    for i in range(loops):
+        state = state.replace(
+            agent=state.agent.replace(act_noise=jnp.asarray(noise, jnp.float32)))
+        t0 = time.time()
+        steps = 0
+        while steps < no_steps:
+            state, recs = chunk_fn(state)
+            _feed_hook(hook, recs)
+            steps += tcfg.chunk_len
+        if verbose:
+            print(f"[{cfg.name} sharded {trainer.n_dp}x{trainer.n_sp}] "
+                  f"loop {i + 1}/{loops} noise={noise:.4f} "
+                  f"best={float(state.best_reward):.4f} eps={int(state.ep_count)} "
+                  f"({time.time() - t0:.1f}s)")
+        noise *= cfg.noise_decay
+        hook.clamp_rewards(-3000.0, 0.0)
+
+    finalize_hook(hook, state)
+    return state, hook
+
+
+def _feed_hook(hook, recs) -> None:
+    """Append finished-episode rewards from one chunk's records, in step
+    order (the host half of PDEhook.jl:52,65-76 accounting)."""
+    finished = np.asarray(recs["finished"])
+    completed = np.asarray(recs["completed"])
+    ep_reward = np.asarray(recs["ep_reward"])
+    for t in range(finished.shape[0]):
+        for r, comp in zip(ep_reward[t][finished[t]], completed[t][finished[t]]):
+            hook.rewards.append(float(r))
+            if comp:
+                hook.rewards_compare.append(float(r))
+            hook.ep += 1
+
+
+def finalize_hook(hook, state: MCState) -> None:
+    """Copy the on-device best tracking into the host hook."""
+    if np.isfinite(float(state.best_reward)):
+        hook.bestreward = float(state.best_reward)
+        hook.bestepisode = int(state.best_episode)
+        hook.best_actor = jax.tree.map(np.asarray, state.best_actor)
+    hook.current_actor = state.agent.actor
+
+
+def save_sharded(out_dir: str, trainer: ShardedFluidTrainer, state: MCState,
+                 hook, number=None) -> None:
+    """Checkpoint a sharded training run in the STANDARD light format
+    (train.checkpoint), so single-chip eval/resume paths consume it
+    unchanged. The per-dp replay is not persisted (light semantics)."""
+    from distributedconvrl_pde_control_tpu.agents.replay import replay_init
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import TrainState
+
+    acfg = trainer.agent.cfg
+    ts = TrainState(
+        agent=jax.tree.map(np.asarray, state.agent),
+        replay=replay_init(1, acfg.ns, acfg.na_rows),
+        key=np.asarray(state.key),
+    )
+    checkpoint.save(out_dir, ts, hook, number=number, include_replay=False)
+
+
+def load_sharded(load_dir: str, trainer: ShardedFluidTrainer, number=None):
+    """Load a standard-format checkpoint (full or light) against this
+    trainer's agent template. Returns (DDPGState, PDEHook)."""
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import TrainState
+
+    acfg = trainer.agent.cfg
+    ts_template = TrainState(
+        agent=trainer.agent.init_state(jax.random.PRNGKey(0)),
+        replay=replay_init(1, acfg.ns, acfg.na_rows),
+        key=jax.random.PRNGKey(0),
+    )
+    ts, hook = checkpoint.load(load_dir, ts_template, number=number)
+    return ts.agent, hook
+
+
+def load_actor_for_eval(load_dir: str, trainer: ShardedFluidTrainer):
+    """Best actor params from a checkpoint (falling back to the current
+    actor) — the plot_heat/testrun bestNNA swap-in (plotting.jl:28-30)."""
+    agent_state, hook = load_sharded(load_dir, trainer)
+    if hook.best_actor is not None:
+        return jax.tree.map(jnp.asarray, hook.best_actor)
+    return agent_state.actor

@@ -36,6 +36,31 @@ def test_cli_train_then_eval(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_sharded_train_eval_resume(tmp_path):
+    """The --mesh path: preset-driven sharded training on a virtual 2x4
+    mesh, standard-format checkpoint, sharded eval, resume."""
+    out = str(tmp_path / "run")
+    common = ["Fluid_8", "--mesh", "2x4", "--virtual-devices", "8",
+              "--nx", "16", "--horizon", "0.4", "--n-envs", "4", "--out", out]
+    r = run_cli(*common, "--train", "--loops", "1", "--no-steps", "20",
+                "--chunk-len", "10", "--capacity-per-dp", "2048", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "saves", "agent_light.msgpack"))
+    assert "best reward" in r.stdout
+
+    r = run_cli(*common, "--eval", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["mesh"] == "2x4" and stats["trained"] > 0
+
+    r = run_cli(*common, "--train", "--loops", "1", "--no-steps", "10",
+                "--chunk-len", "10", "--capacity-per-dp", "2048", "--resume",
+                cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming from ep" in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_resume(tmp_path):
     out = str(tmp_path / "run")
     r = run_cli("KS22", "--train", "--cpu", "--loops", "1", "--no-steps", "100",

@@ -120,26 +120,153 @@ def test_halo_exchange_periodic_and_clamped():
     assert np.allclose(out[3], [11, 12, 13, 14, 15, 15])  # clamped right
 
 
+def _tiny_fluid_cfg(**over):
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.configs.fluid import FLUID_8
+
+    return dataclasses.replace(FLUID_8, nx=16, sensors_per_axis=4, **over)
+
+
 def test_multichip_trainer_one_step():
     from distributedconvrl_pde_control_tpu.parallel.multichip import (
-        MultichipFluidConfig,
-        MultichipFluidTrainer,
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
     )
 
     mesh = make_dp_sp_mesh(8)
-    cfg = MultichipFluidConfig(nx=16, sensors_per_axis=4, n_envs=4, oversampling=2,
-                               batch_size=8, capacity_per_dp=1024)
-    tr = MultichipFluidTrainer(cfg, mesh)
+    cfg = _tiny_fluid_cfg()
+    tcfg = ShardedTrainConfig(n_envs=4, batch_size=8, capacity_per_dp=1024,
+                              y0_pool_size=2)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
     state = tr.init(jax.random.PRNGKey(0))
-    step = tr.make_train_step()
-    w0 = state.w
-    s1 = step(state, w0)
-    s2 = step(s1, w0)
+    step = tr.make_chunk_fn(1)
+    s1, _ = step(state)
+    s2, recs = step(s1)
     assert np.isfinite(float(s2.mean_reward))
-    assert int(s2.replay.size[0]) == 2 * (cfg.n_envs // 2) * cfg.n_act
+    # 2 steps x (n_envs/n_dp) local envs x n_act pushes per dp shard
+    n_act = cfg.sensors_per_axis**2
+    assert int(np.asarray(s2.replay.size)[0]) == 2 * (tcfg.n_envs // 2) * n_act
     # params must remain replicated/identical after dp-pmean learning
-    w_actor = np.asarray(s2.agent.actor[0]["w"])
-    assert np.isfinite(w_actor).all()
+    w_actor = s2.agent.actor[0]["w"]
+    shards = [np.asarray(s.data) for s in w_actor.addressable_shards]
+    for s in shards[1:]:
+        assert np.array_equal(s, shards[0])
+    assert np.isfinite(shards[0]).all()
+
+
+def test_multichip_trainer_episode_accounting_and_best_tracking():
+    """Chunked sharded training produces hook-grade episode records, an
+    on-device best-actor snapshot, and a standard-format light checkpoint
+    that the single-chip eval path loads."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+        load_actor_for_eval,
+        save_sharded,
+        train_sharded,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = _tiny_fluid_cfg(te=0.2)  # 10-step episodes
+    tcfg = ShardedTrainConfig(n_envs=8, batch_size=8, capacity_per_dp=2048,
+                              y0_pool_size=2, chunk_len=10)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    state, hook = train_sharded(tr, loops=1, no_steps=20, seed=0, verbose=False)
+    # 20 steps x 8 envs / 10-step episodes = 16 finished episodes
+    assert hook.ep - 1 == 16
+    assert len(hook.rewards) == 16
+    assert np.isfinite(hook.bestreward)
+    assert hook.best_actor is not None
+    assert int(state.ep_count) == 16
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_sharded(d, tr, state, hook)
+        actor = load_actor_for_eval(d, tr)
+        got = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), b),
+                           actor, hook.best_actor)
+        assert all(bool(x["w"]) and bool(x["b"]) for x in got)
+
+        # single-chip checkpoint path loads the same file
+        from distributedconvrl_pde_control_tpu.configs.fluid import build_fluid
+        from distributedconvrl_pde_control_tpu.train import checkpoint
+        from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+        setup = build_fluid(cfg)
+        tmpl = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+        ts, hook2 = checkpoint.load(d, tmpl)
+        assert hook2.bestreward == hook.bestreward
+
+
+def test_multichip_eval_rollout():
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = _tiny_fluid_cfg()
+    tcfg = ShardedTrainConfig(n_envs=4, capacity_per_dp=256, y0_pool_size=2)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    actor = tr.agent.init_state(jax.random.PRNGKey(1)).actor
+    ev = tr.make_eval_fn(6, t_action_steps=2)
+    recs = ev(actor, tr.eval_w0(4))
+    energy = np.asarray(recs["energy"])
+    active = np.asarray(recs["active"])
+    assert energy.shape == (6, 4) and active.shape == (6, 4)
+    assert np.isfinite(energy[active]).all()
+    # all 4 eval envs start from the same canonical y0 -> identical energies
+    assert np.allclose(energy[:, 0], energy[:, 1])
+
+
+def test_multichip_temporal_and_memory_rows():
+    """The sharded path supports the preset's temporal stacking + action
+    memory observations (KSSetup.jl:209-228 semantics via
+    Conv2DFeaturizer.from_dots)."""
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = _tiny_fluid_cfg(temporal_steps=2, memory_size=1)
+    tcfg = ShardedTrainConfig(n_envs=4, batch_size=8, capacity_per_dp=512,
+                              y0_pool_size=2)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    assert tr.featurizer.obs_dim == 9 * 2 + 1
+    assert tr.agent.cfg.na_rows == 2
+    state = tr.init(jax.random.PRNGKey(0))
+    assert state.obs.shape == (4, 19, 16)
+    step = tr.make_chunk_fn(2)
+    s1, _ = step(state)
+    assert np.isfinite(float(s1.mean_reward))
+
+
+def test_multichip_featurize_matches_single_chip():
+    """Sharded sensor readout + featurization == the single-chip
+    Conv2DFeaturizer on the same field."""
+    from distributedconvrl_pde_control_tpu.configs.fluid import build_fluid
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = _tiny_fluid_cfg()
+    tcfg = ShardedTrainConfig(n_envs=4, capacity_per_dp=256, y0_pool_size=2)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    state = tr.init(jax.random.PRNGKey(0))
+
+    setup = build_fluid(cfg)
+    w = np.asarray(state.w)
+    for b in range(tcfg.n_envs):
+        want = np.asarray(setup.env.featurize(jnp.asarray(w[b]), None, None))
+        got = np.asarray(state.obs)[b]
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
 
 
 def test_sharded_ri_matches_single_chip_real_path():
@@ -196,20 +323,27 @@ def test_sharded_ri_matches_single_chip_real_path():
 
 @pytest.mark.slow
 def test_multichip_compiles_at_production_grid():
-    """One DP x SP step at a production-scale grid (256^2) on the virtual
-    mesh — validates shard layouts and memory at size, not physics."""
+    """One DP x SP step of the FLUID_8_256 preset (dt widened so the
+    oversampling property gives 1 substep) on the virtual mesh — validates
+    shard layouts and memory at size, not physics."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.configs.fluid import FLUID_8_256
     from distributedconvrl_pde_control_tpu.parallel.multichip import (
-        MultichipFluidConfig,
-        MultichipFluidTrainer,
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
     )
 
     mesh = make_dp_sp_mesh(8)
-    cfg = MultichipFluidConfig(nx=256, sensors_per_axis=8, n_envs=2, oversampling=1,
-                               batch_size=8, capacity_per_dp=2048)
-    tr = MultichipFluidTrainer(cfg, mesh)
+    # dt=4e-4 -> oversampling=floor(16*256*dt)=1 (keeps the CPU test fast)
+    cfg = dataclasses.replace(FLUID_8_256, dt=4e-4)
+    tcfg = ShardedTrainConfig(n_envs=2, batch_size=8, capacity_per_dp=2048,
+                              y0_pool_size=1)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    assert cfg.oversampling == 1
     state = tr.init(jax.random.PRNGKey(0))
-    step = tr.make_train_step()
-    s1 = step(state, state.w)
+    step = tr.make_chunk_fn(1)
+    s1, _ = step(state)
     assert np.isfinite(float(s1.mean_reward))
 
 
