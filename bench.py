@@ -9,10 +9,13 @@ exploration noise, 131k replay pushes, and one DDPG gradient update
 
 Baseline: the reference publishes no numbers (BASELINE.md); its north-star
 target is ">= 50x per-chip batched-env throughput vs the Julia reference".
-Profiling-scale estimates put the single-env Julia loop at O(600) env
-steps/s (30 in-place 192-point FFT pairs + 20 Zygote updates per step), so
-`vs_baseline` is reported against 50 * 600 = 30_000 env steps/s — i.e.
-vs_baseline >= 1.0 means the north-star throughput target is met.
+The reference rate is MEASURED by `baseline_proxy.py` (a faithful NumPy/
+pocketfft single-env KS22 host loop with the reference's exact per-step
+work): 570 env steps/s solver-only, 67 env steps/s for the full loop with
+its 20 batch-3 DDPG updates per step. `vs_baseline` is reported against the
+GENEROUS bound 50 * 570 = 28_500 env steps/s (i.e. as if the reference's
+learner were free); vs_baseline >= 1.0 means the north-star target is met,
+and the ratio against the full measured loop is ~8.5x higher still.
 """
 
 import json
@@ -31,7 +34,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 N_ENVS = 16384
 CHUNK = 50
 TIMED_ROUNDS = 5
-BASELINE_STEPS_PER_SEC = 30_000.0
+# 50x the solver-only reference-loop rate measured by baseline_proxy.py
+# (570 env steps/s on this host's CPU; full loop with learning: 67/s)
+BASELINE_STEPS_PER_SEC = 50.0 * 570.0
 
 
 def main():

@@ -1,0 +1,159 @@
+"""Multi-chip scaling benchmark: the sharded fluid train step across
+(dp, sp) mesh shapes and grid sizes.
+
+Emits ONE JSON line per measured point:
+
+  {"metric": "sharded_fluid_train_step", "mesh": "4x2", "nx": 256, ...}
+
+with steps/s, env-steps/s, and an estimated per-step collective fraction.
+The collective estimate times the transpose all_to_all alone on the exact
+message shape the solver moves (parallel/dfft.py: one all_to_all per
+transform), multiplied by the number of transforms per env step
+(3 + 20 * oversampling: init w + forcing + final inverse, plus 4 RK stages
+x (4 inverse + 1 forward) per substep).
+
+Usage:
+  # virtual 8-device mesh sweep (CPU; relative scaling shape)
+  python bench_multichip.py --virtual 8 --nx 128 --meshes 8x1,4x2,2x4,1x8
+  # the real single chip
+  python bench_multichip.py --meshes 1x1 --nx 256
+
+dt is chosen so the preset's oversampling property (floor(16*nx*dt),
+FluidSetup.jl:47) gives a fixed substep count across grid sizes, keeping
+points comparable; pass --oversampling to change it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _setup_backend(virtual: int | None):
+    if virtual:
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu" or jax.device_count() < virtual:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+            jax.config.update("jax_num_cpu_devices", virtual)
+    elif jax.default_backend() in ("tpu", "axon"):
+        jax.config.update("jax_default_prng_impl", "rbg")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
+                steps: int, chunk_len: int, batch_size: int) -> dict:
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from distributedconvrl_pde_control_tpu.configs.fluid import FLUID_8
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+    )
+
+    dp, sp = (int(x) for x in mesh_spec.lower().split("x"))
+    devices = jax.devices()[: dp * sp]
+    assert len(devices) == dp * sp, f"need {dp * sp} devices"
+    mesh = Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
+
+    # dt such that floor(16*nx*dt) == oversampling (FluidSetup.jl:47)
+    dt = (oversampling + 0.5) / (16.0 * nx)
+    cfg = dataclasses.replace(FLUID_8, nx=nx, dt=dt, te=1000.0 * dt)
+    assert cfg.oversampling == oversampling
+    tcfg = ShardedTrainConfig(n_envs=n_envs, batch_size=batch_size,
+                              capacity_per_dp=50_000, y0_pool_size=2,
+                              chunk_len=chunk_len)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    state = tr.init(jax.random.PRNGKey(0))
+    chunk = tr.make_chunk_fn(chunk_len)
+
+    state, _ = chunk(state)  # compile + warm
+    jax.block_until_ready(state.mean_reward)
+    t0 = time.perf_counter()
+    done = 0
+    while done < steps:
+        state, _ = chunk(state)
+        done += chunk_len
+    jax.block_until_ready(state.mean_reward)
+    dt_step = (time.perf_counter() - t0) / done
+
+    # ---- collective estimate: the transform transpose alone, on the real
+    # message shape (2, Bl, ny, nx/S) — parallel/dfft._transpose_ri
+    n_transforms = 3 + 20 * oversampling
+    coll_ms = 0.0
+    if sp > 1:
+        bl = n_envs // dp
+        msg = jnp.zeros((2, bl, nx // sp, nx), jnp.float32)  # local block
+
+        def tr_only(z):
+            z = jax.lax.all_to_all(z, "sp", split_axis=3, concat_axis=2, tiled=True)
+            return jax.lax.all_to_all(z, "sp", split_axis=2, concat_axis=3, tiled=True)
+
+        f = jax.jit(shard_map(tr_only, mesh=mesh,
+                              in_specs=P(None, "dp", "sp", None),
+                              out_specs=P(None, "dp", "sp", None),
+                              check_vma=False))
+        z = jax.device_put(jnp.zeros((2, n_envs, nx, nx), jnp.float32),
+                           NamedSharding(mesh, P(None, "dp", "sp", None)))
+        jax.block_until_ready(f(z))
+        reps = 20
+        t0 = time.perf_counter()
+        out = z
+        for _ in range(reps):
+            out = f(out)
+        jax.block_until_ready(out)
+        # each rep = 2 all_to_alls; a transform does 1
+        coll_ms = (time.perf_counter() - t0) / reps / 2.0 * 1000.0
+
+    coll_est_ms = coll_ms * n_transforms
+    step_ms = dt_step * 1000.0
+    return {
+        "metric": "sharded_fluid_train_step",
+        "mesh": mesh_spec,
+        "nx": nx,
+        "n_envs": n_envs,
+        "oversampling": oversampling,
+        "ms_per_step": round(step_ms, 3),
+        "env_steps_per_sec": round(n_envs / dt_step, 2),
+        "collective_ms_est": round(coll_est_ms, 3),
+        "collective_fraction_est": round(min(coll_est_ms / step_ms, 1.0), 4),
+        "backend": jax.default_backend(),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--meshes", default="8x1,4x2,2x4,1x8")
+    ap.add_argument("--nx", type=int, default=128)
+    ap.add_argument("--n-envs", type=int, default=8)
+    ap.add_argument("--oversampling", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--chunk-len", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--virtual", type=int, default=None,
+                    help="run on N virtual CPU devices")
+    args = ap.parse_args(argv)
+    _setup_backend(args.virtual)
+
+    for spec in args.meshes.split(","):
+        point = bench_point(spec.strip(), args.nx, args.n_envs,
+                            args.oversampling, args.steps, args.chunk_len,
+                            args.batch_size)
+        print(json.dumps(point), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,12 @@ def build_setup(name: str):
         "Fluid_16": lambda: C.build_fluid(C.FLUID_16),
         "Fluid_32": lambda: C.build_fluid(C.FLUID_32),
         "Fluid_8_256": lambda: C.build_fluid(C.FLUID_8_256),
+        # the reference's ACTUAL installed stepper: do_step2 adaptive RK4 at
+        # tol 1e0 (FluidSetup.jl:178-186,333)
+        "Fluid_8_adaptive": lambda: C.build_fluid(
+            __import__("dataclasses").replace(
+                C.FLUID_8, name="Fluid_8_adaptive", adaptive=True)
+        ),
         "Fluid_8_eval": lambda: C.build_fluid(
             __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
         ),

@@ -35,6 +35,31 @@ def test_fluid_training_learns_and_stays_finite(small_fluid):
     assert hook.best_actor is not None or all(r < 0 for r in hook.rewards)
 
 
+def test_adaptive_stepper_inside_training_episode():
+    """The reference's ACTUAL installed stepper — do_step2, adaptive RK4 at
+    tol 1e0 (FluidSetup.jl:178-186,333) — runs inside the fused training
+    episode (lax.while_loop under the episode scan) and learns finitely."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.train.loop import (
+        init_train_state,
+        make_episode_fn,
+    )
+
+    cfg = dataclasses.replace(
+        FLUID_8, name="Fluid_tiny_adaptive", nx=16, sensors_per_axis=4,
+        te=0.2, capacity=5_000, start_steps=2, update_after=2, update_loops=2,
+        adaptive=True,
+    )
+    setup = build_fluid(cfg)
+    ts = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ep = make_episode_fn(setup.env, setup.agent, learning=True)
+    ts, res = ep(ts, jnp.asarray(setup.env.y0))
+    assert int(res.steps) == 10
+    assert np.isfinite(float(res.reward_sum))
+    assert int(ts.replay.size) == 10 * setup.agent.cfg.n_actuators
+
+
 def test_fluid_energy_eval_baselines(small_fluid):
     from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
     from distributedconvrl_pde_control_tpu.train.eval import energy_eval
