@@ -58,14 +58,14 @@ def main():
     chunk_fn = trainer.make_chunk_fn(CHUNK)
 
     # compile + warmup
-    ts, rewards = chunk_fn(ts)
-    jax.block_until_ready(rewards)
+    ts, recs = chunk_fn(ts)
+    jax.block_until_ready(recs["mean_reward"])
 
     best_rate = 0.0
     for _ in range(TIMED_ROUNDS):
         t0 = time.perf_counter()
-        ts, rewards = chunk_fn(ts)
-        jax.block_until_ready(rewards)
+        ts, recs = chunk_fn(ts)
+        jax.block_until_ready(recs["mean_reward"])
         dt = time.perf_counter() - t0
         best_rate = max(best_rate, CHUNK * N_ENVS / dt)
 

@@ -111,15 +111,25 @@ class FluidConfig:
         return [(i, j) for i in range(1, n + 1, step) for j in range(1, n + 1, step)]
 
 
-FLUID_8 = FluidConfig(name="Fluid_8", seed=531, sensors_per_axis=8, variance=0.08)
-FLUID_16 = FluidConfig(name="Fluid_16", seed=436, sensors_per_axis=16, variance=0.04)
-FLUID_32 = FluidConfig(name="Fluid_32", seed=886, sensors_per_axis=32, variance=0.022)
+# adaptive=True is the DEFAULT recipe for the shipped presets: the reference
+# installs do_step2 (adaptive RK4 at tol 1e0) as the env stepper for all
+# fluid experiments (FluidSetup.jl:333, def :178-186). Measured head-to-head
+# (RESULTS.md round 2): the adaptive-trained controller evaluates slightly
+# better AND trains ~1.5x faster than the fixed 40-substep path; pass
+# adaptive=False for the do_step fixed-step variant (FluidSetup.jl:163-172).
+FLUID_8 = FluidConfig(name="Fluid_8", seed=531, sensors_per_axis=8, variance=0.08,
+                      adaptive=True)
+FLUID_16 = FluidConfig(name="Fluid_16", seed=436, sensors_per_axis=16, variance=0.04,
+                       adaptive=True)
+FLUID_32 = FluidConfig(name="Fluid_32", seed=886, sensors_per_axis=32, variance=0.022,
+                       adaptive=True)
 # The scale-out preset: TRAIN at the reference's evaluation resolution
 # (FluidSetup.jl:32-36 only evaluates at 256^2 because a single GPU trains
 # at 128^2); the sharded trainer (parallel.multichip) lifts training itself
 # to the big grid across a chip mesh.
 FLUID_8_256 = FluidConfig(name="Fluid_8_256", seed=531, sensors_per_axis=8,
-                          variance=0.08, nx=256)
+                          variance=0.08, nx=256)  # sharded path: fixed-step
+                          # oversampled solver (see parallel.multichip)
 
 
 def fluid_error_detection(y: np.ndarray) -> bool:

@@ -30,11 +30,12 @@ def build_setup(name: str):
         "Fluid_16": lambda: C.build_fluid(C.FLUID_16),
         "Fluid_32": lambda: C.build_fluid(C.FLUID_32),
         "Fluid_8_256": lambda: C.build_fluid(C.FLUID_8_256),
-        # the reference's ACTUAL installed stepper: do_step2 adaptive RK4 at
-        # tol 1e0 (FluidSetup.jl:178-186,333)
-        "Fluid_8_adaptive": lambda: C.build_fluid(
+        # fluid presets default to the reference's ACTUAL installed stepper
+        # (do_step2 adaptive RK4 at tol 1e0, FluidSetup.jl:333); this keeps
+        # the fixed-step do_step variant (FluidSetup.jl:163-172) reachable
+        "Fluid_8_fixedstep": lambda: C.build_fluid(
             __import__("dataclasses").replace(
-                C.FLUID_8, name="Fluid_8_adaptive", adaptive=True)
+                C.FLUID_8, name="Fluid_8_fixedstep", adaptive=False)
         ),
         "Fluid_8_eval": lambda: C.build_fluid(
             __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
@@ -206,6 +207,14 @@ def main(argv=None):
                     help="override the fluid grid size for --mesh runs")
     ap.add_argument("--horizon", type=float, default=None,
                     help="override the episode horizon te for --mesh runs")
+    ap.add_argument("--batched", action="store_true",
+                    help="train with the throughput configuration (vmapped "
+                         "env batch, fused chunks) instead of the fidelity "
+                         "loop; saves the same checkpoint format")
+    ap.add_argument("--total-steps", type=int, default=2000,
+                    help="fused env steps for --batched training")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="deterministic eval cadence (steps) for --batched")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of one training loop "
                          "into <out>/profile/ and print per-phase timings")
@@ -255,6 +264,52 @@ def main(argv=None):
             12.0 if args.preset.startswith("KellerSegel") else 200.0)
     if args.p_t_action is None:
         args.p_t_action = 0.0 if args.preset.startswith("Fluid") else args.p_te / 2.0
+
+    if args.train and args.batched:
+        import numpy as _np
+
+        from distributedconvrl_pde_control_tpu.agents.replay import replay_init
+        from distributedconvrl_pde_control_tpu.train.batched import (
+            BatchedTrainer,
+            BatchedTrainerConfig,
+            train_batched,
+        )
+        from distributedconvrl_pde_control_tpu.train.loop import TrainState
+
+        n_envs = args.n_envs or 256
+        # host-precomputed fresh-IC pool (works for every family; fluid's
+        # random-vortex generator is host-only)
+        pool = None
+        if setup.random_init is not None:
+            keys = jax.random.split(jax.random.PRNGKey(setup.seed), 32)
+            pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+        trainer = BatchedTrainer(
+            setup.env, setup.agent,
+            BatchedTrainerConfig(n_envs=n_envs,
+                                 batch_size=args.learner_batch or 256,
+                                 update_loops=1,
+                                 min_best_episode=setup.min_best_episode),
+            y0_pool=pool,
+        )
+        ts, hook, means = train_batched(
+            trainer, total_steps=args.total_steps,
+            key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),
+            noise_decay_every=max(1, args.total_steps // setup.loops),
+            noise_decay=setup.noise_decay,
+            chunk_len=args.chunk_len or 50,
+            verbose=True, eval_every=args.eval_every)
+        acfg = setup.agent.cfg
+        ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
+                            replay=replay_init(1, acfg.ns, acfg.na_rows),
+                            key=np.asarray(ts.key))
+        checkpoint.save(out_dir, ts_std, hook, include_replay=False)
+        print(hook.ascii_curve())
+        if hook.evals:
+            print("evals:", [(s, round(r, 4)) for s, r in hook.evals])
+        print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} @ ep "
+              f"{hook.bestepisode}; {int(ts.total_env_steps)} env steps, "
+              f"final chunk mean {means[-1]:.4f}")
+        return
 
     if args.train:
         ts = hook = None

@@ -121,7 +121,15 @@ def _local(x):
 
 class ShardedFluidTrainer:
     """Builds the sharded arrays and the jitted SPMD programs for a fluid
-    experiment preset."""
+    experiment preset.
+
+    Stepper note: the sharded solver always runs the FIXED-step oversampled
+    RK4 (`FluidConfig.oversampling`), even when the preset sets
+    `adaptive=True` — a data-dependent `lax.while_loop` step count would
+    diverge across sp shards unless the acceptance test pmax'd its error
+    norm over the mesh every iteration, serializing the collectives; the
+    fixed-step path at the preset's oversampling is the reference's own
+    do_step (FluidSetup.jl:163-172) and resolves the same physics."""
 
     def __init__(self, cfg: FluidConfig, mesh: Mesh,
                  tcfg: ShardedTrainConfig = ShardedTrainConfig()):
@@ -570,7 +578,7 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
         steps = 0
         while steps < no_steps:
             state, recs = chunk_fn(state)
-            _feed_hook(hook, recs)
+            hook.feed_episode_records(recs)
             steps += tcfg.chunk_len
         if verbose:
             print(f"[{cfg.name} sharded {trainer.n_dp}x{trainer.n_sp}] "

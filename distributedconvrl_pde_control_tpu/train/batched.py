@@ -38,6 +38,13 @@ class BatchedTrainState:
     env_states: object  # vmapped EnvState (leading axis n_envs)
     key: jnp.ndarray
     total_env_steps: jnp.ndarray  # int32
+    # observability (PDEhook semantics, tracked on device so the fused scan
+    # never syncs with the host: PDEhook.jl:52,65-76)
+    ep_reward: jnp.ndarray  # (n_envs,) running sum of per-step mean rewards
+    ep_count: jnp.ndarray  # i32 — episodes finished across all envs
+    best_reward: jnp.ndarray  # f32
+    best_episode: jnp.ndarray  # i32
+    best_actor: list  # actor pytree snapshot (PDEhook bestNNA)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +53,7 @@ class BatchedTrainerConfig:
     batch_size: int = 256  # learner batch (scaled up from the reference's 3)
     update_loops: int = 1  # gradient steps per env step (20 in fidelity mode)
     update_every: int = 1
+    min_best_episode: int = 0  # PDEhook gate (PDEhook.jl:66)
 
 
 class BatchedTrainer:
@@ -80,12 +88,18 @@ class BatchedTrainer:
         k_agent, k_envs, k_run = jax.random.split(key, 3)
         env_states = jax.vmap(self._reset1)(self._fresh_y0s(k_envs, self.cfg.n_envs))
         acfg = self.agent.cfg
+        astate = self.agent.init_state(k_agent)
         return BatchedTrainState(
-            agent=self.agent.init_state(k_agent),
+            agent=astate,
             replay=replay_init(acfg.capacity, acfg.ns, acfg.na_rows),
             env_states=env_states,
             key=k_run,
             total_env_steps=jnp.asarray(0, jnp.int32),
+            ep_reward=jnp.zeros((self.cfg.n_envs,), jnp.float32),
+            ep_count=jnp.asarray(0, jnp.int32),
+            best_reward=jnp.asarray(-jnp.inf, jnp.float32),
+            best_episode=jnp.asarray(0, jnp.int32),
+            best_actor=jax.tree.map(jnp.copy, astate.actor),
         )
 
     # ------------------------------------------------------------- one step
@@ -137,16 +151,38 @@ class BatchedTrainer:
 
             astate = jax.lax.cond(can, do_learn, lambda a: a, astate)
 
+        # episode accounting + on-device best-actor tracking (PDEhook
+        # semantics: best COMPLETED episode past min_best_episode snapshots
+        # the actor as of that episode's end, PDEhook.jl:65-76)
+        done = new_estates.done
+        completed = jnp.logical_and(
+            done, new_estates.time >= env.te * (1.0 - 1e-6))
+        step_mean_r = jnp.mean(new_estates.reward, axis=-1)  # (B,)
+        ep_r = ts.ep_reward + step_mean_r
+        ep_count = ts.ep_count + jnp.sum(done.astype(jnp.int32))
+        cand = jnp.where(jnp.logical_and(done, completed), ep_r, -jnp.inf)
+        cand_max = jnp.max(cand)
+        is_better = jnp.logical_and(cand_max > ts.best_reward,
+                                    ep_count >= cfg.min_best_episode)
+        best_actor = jax.tree.map(lambda b, c: jnp.where(is_better, c, b),
+                                  ts.best_actor, astate.actor)
+        best_reward = jnp.where(is_better, cand_max, ts.best_reward)
+        best_episode = jnp.where(is_better, ep_count, ts.best_episode)
+
         # auto-reset finished episodes with fresh initial conditions
         fresh = jax.vmap(self._reset1)(self._fresh_y0s(k_reset, B))
-        done = new_estates.done
 
         def pick(f, n):
             return jnp.where(done.reshape((B,) + (1,) * (n.ndim - 1)), f, n)
 
         estates = jax.tree.map(pick, fresh, new_estates)
 
-        mean_reward = jnp.mean(new_estates.reward)
+        records = {
+            "finished": done,
+            "completed": completed,
+            "ep_reward": ep_r,
+            "mean_reward": jnp.mean(new_estates.reward),
+        }
         return (
             BatchedTrainState(
                 agent=astate,
@@ -154,8 +190,13 @@ class BatchedTrainer:
                 env_states=estates,
                 key=key,
                 total_env_steps=ts.total_env_steps + B,
+                ep_reward=jnp.where(done, 0.0, ep_r),
+                ep_count=ep_count,
+                best_reward=best_reward,
+                best_episode=best_episode,
+                best_actor=best_actor,
             ),
-            mean_reward,
+            records,
         )
 
     @staticmethod
@@ -176,44 +217,103 @@ class BatchedTrainer:
     # ---------------------------------------------------------------- chunks
     def make_chunk_fn(self, n_steps: int, learn: bool = True):
         """Compile `n_steps` fused train steps into one program; returns the
-        new state and the per-step mean rewards."""
+        new state and the per-step records (finished/completed/ep_reward:
+        (n_steps, n_envs); mean_reward: (n_steps,))."""
 
         def chunk(ts: BatchedTrainState):
             def body(ts, _):
-                ts, r = self._train_step(ts, learn)
-                return ts, r
+                return self._train_step(ts, learn)
 
-            ts, rewards = jax.lax.scan(body, ts, None, length=n_steps)
-            return ts, rewards
+            return jax.lax.scan(body, ts, None, length=n_steps)
 
         return jax.jit(chunk, donate_argnums=0)
+
+    # ------------------------------------------------------------------ eval
+    def eval_mean_reward(self, actor_params, n_steps: int, key=None) -> float:
+        """Deterministic-policy evaluation over one vmapped episode batch
+        (no noise, no learning): mean per-step reward over active steps."""
+        env, agent = self.env, self.agent
+        acfg = agent.cfg
+        B = self.cfg.n_envs
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        @jax.jit
+        def run(actor, y0s):
+            estates = jax.vmap(self._reset1)(y0s)
+
+            def body(carry, _):
+                estates = carry
+                obs_flat = jnp.moveaxis(estates.obs, 0, 1).reshape(
+                    acfg.ns, B * acfg.n_actuators)
+                a_flat = jnp.clip(agent.actor_apply(actor, obs_flat),
+                                  -acfg.act_limit, acfg.act_limit)
+                actions = jnp.moveaxis(
+                    a_flat.reshape(acfg.na_rows, B, acfg.n_actuators), 1, 0)
+                active = jnp.logical_not(estates.done)
+                new_estates = jax.vmap(self._step1)(estates, actions)
+                estates = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        active.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+                    new_estates, estates)
+                r = jnp.where(active, jnp.mean(new_estates.reward, -1), 0.0)
+                return estates, (r, active)
+
+            _, (rs, actives) = jax.lax.scan(body, estates, None, length=n_steps)
+            return rs, actives
+
+        rs, actives = run(actor_params, self._fresh_y0s(key, B))
+        import numpy as np
+
+        rs, actives = np.asarray(rs), np.asarray(actives)
+        return float(rs[actives].mean()) if actives.any() else float("nan")
 
 
 def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
                   noise_decay_every: int = 0, noise_decay: float = 0.5,
-                  chunk_len: int = 50, verbose: bool = False):
+                  chunk_len: int = 50, verbose: bool = False, hook=None,
+                  eval_every: int = 0, eval_steps: int = 50):
     """Throughput-mode training driver: run `total_steps` fused steps in
     chunks, optionally decaying the exploration noise every
     `noise_decay_every` steps (the batched analogue of the reference's
     per-loop `act_noise *= 0.2`, KSSetup.jl:315).
 
-    Returns (state, mean rewards per chunk).
+    Observability: per-env episode accounting and on-device best-actor
+    snapshots feed a standard PDEHook (artifact-grade — checkpoint.save
+    ships it unchanged); `eval_every > 0` additionally runs a deterministic
+    evaluation episode batch every N steps and records (step, mean reward)
+    pairs.
+
+    Returns (state, hook, mean rewards per chunk).
     """
     import numpy as _np
 
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+
     ts = trainer.init(key if key is not None else jax.random.PRNGKey(0))
     chunk_fn = trainer.make_chunk_fn(chunk_len)
+    if hook is None:
+        hook = PDEHook(min_best_episode=trainer.cfg.min_best_episode,
+                       collect_best_trace=False)
+    hook.evals = []  # (total_env_step, deterministic mean step reward)
     chunk_means = []
     steps_done = 0
     next_decay = noise_decay_every if noise_decay_every else None
+    next_eval = eval_every if eval_every else None
     while steps_done < total_steps:
-        ts, rewards = chunk_fn(ts)
-        chunk_means.append(float(jnp.mean(rewards)))
+        ts, recs = chunk_fn(ts)
+        hook.feed_episode_records(recs)
+        chunk_means.append(float(jnp.mean(recs["mean_reward"])))
         steps_done += chunk_len
         if next_decay is not None and steps_done >= next_decay:
             ts = ts.replace(agent=ts.agent.replace(act_noise=ts.agent.act_noise * noise_decay))
             next_decay += noise_decay_every
+        if next_eval is not None and steps_done >= next_eval:
+            r_eval = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
+            hook.evals.append((steps_done, r_eval))
+            next_eval += eval_every
         if verbose:
             print(f"steps {steps_done}: mean reward {chunk_means[-1]:.4f} "
                   f"noise {float(ts.agent.act_noise):.4f}")
-    return ts, _np.asarray(chunk_means)
+    hook.adopt_device_best(ts.best_reward, ts.best_episode, ts.best_actor)
+    hook.current_actor = ts.agent.actor
+    return ts, hook, _np.asarray(chunk_means)

@@ -76,6 +76,29 @@ class PDEHook:
         if self.collect_nna:
             self.current_actor = agent_state.actor  # stays on device
 
+    def feed_episode_records(self, recs) -> None:
+        """Append finished-episode rewards from a fused-chunk record dict
+        (keys finished/completed/ep_reward, arrays (n_steps, n_envs)) in step
+        order — the host half of the PDEhook accounting for the batched and
+        sharded trainers, whose episodes finish inside jitted chunks."""
+        finished = np.asarray(recs["finished"])
+        completed = np.asarray(recs["completed"])
+        ep_reward = np.asarray(recs["ep_reward"])
+        for t in range(finished.shape[0]):
+            for r, comp in zip(ep_reward[t][finished[t]], completed[t][finished[t]]):
+                self.rewards.append(float(r))
+                if comp:
+                    self.rewards_compare.append(float(r))
+                self.ep += 1
+
+    def adopt_device_best(self, best_reward, best_episode, best_actor) -> None:
+        """Copy on-device best tracking (batched/sharded trainers) into the
+        host hook in the standard format."""
+        if np.isfinite(float(best_reward)):
+            self.bestreward = float(best_reward)
+            self.bestepisode = int(best_episode)
+            self.best_actor = jax.tree.map(np.asarray, best_actor)
+
     def clamp_rewards(self, lo: float, hi: float) -> None:
         """The post-loop clamp (KSSetup.jl:317)."""
         self.rewards = [min(max(r, lo), hi) for r in self.rewards]

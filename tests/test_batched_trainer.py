@@ -34,22 +34,50 @@ def test_batched_training_beats_no_learning_baseline():
                                  update_loops=4 if learn else 0),
             random_init=ks_random_init(KS22),
         )
-        ts, means = train_batched(trainer, total_steps=1200, chunk_len=100,
-                                  noise_decay_every=400, noise_decay=0.1,
-                                  key=jax.random.PRNGKey(0))
-        return ts, means
+        ts, hook, means = train_batched(trainer, total_steps=1200, chunk_len=100,
+                                        noise_decay_every=400, noise_decay=0.1,
+                                        key=jax.random.PRNGKey(0))
+        return ts, hook, means
 
-    _, base = run(False)
-    ts, learned = run(True)
+    _, _, base = run(False)
+    ts, hook, learned = run(True)
     assert np.isfinite(learned).all()
     assert learned[-3:].mean() > base[-3:].mean() + 0.1, (learned, base)
     assert int(ts.total_env_steps) == 1200 * 16
+    # observability: episodes were accounted and the best actor snapshotted
+    assert hook.ep - 1 == int(ts.ep_count) and hook.ep > 1
+    assert hook.best_actor is not None and np.isfinite(hook.bestreward)
+
+
+def test_batched_trainer_reaches_stabilizing_policy():
+    """The throughput-mode stabilization claim (PERFORMANCE.md): within
+    ~1000 fused steps the batched trainer's policy evaluates (deterministic,
+    no noise) far above the uncontrolled level (~-0.27/step); the on-device
+    best-actor snapshot ships it."""
+    import pytest
+
+    pytest.importorskip("jax")
+    setup = build_ks(KS22)
+    trainer = BatchedTrainer(
+        setup.env, setup.agent,
+        BatchedTrainerConfig(n_envs=32, batch_size=256, update_loops=1),
+        random_init=ks_random_init(KS22),
+    )
+    ts, hook, _ = train_batched(trainer, total_steps=1000, chunk_len=100,
+                                noise_decay_every=250, noise_decay=0.3,
+                                key=jax.random.PRNGKey(0))
+    r_eval = trainer.eval_mean_reward(ts.agent.actor, 50)
+    assert r_eval > -0.1, r_eval  # uncontrolled sits near -0.27/step
+    assert hook.best_actor is not None
+    r_best = trainer.eval_mean_reward(
+        jax.tree.map(np.asarray, hook.best_actor), 50)
+    assert np.isfinite(r_best)
 
 
 def test_batched_replay_fills_and_wraps():
     trainer = make_trainer(n_envs=4)
-    ts, _ = train_batched(trainer, total_steps=100, chunk_len=20,
-                          key=jax.random.PRNGKey(1))
+    ts, _, _ = train_batched(trainer, total_steps=100, chunk_len=20,
+                             key=jax.random.PRNGKey(1))
     assert int(ts.replay.size) == 100 * 4 * 8  # steps * envs * actuators
 
 

@@ -22,6 +22,7 @@ def small_fluid():
         FLUID_8, name="Fluid_tiny", nx=32, sensors_per_axis=4, variance=0.08,
         te=0.6, dt=0.02, capacity=30_000, start_steps=3, update_after=3,
         update_loops=2, loops=2, no_steps=60,
+        adaptive=False,  # the fixed-step path; adaptive has its own test
     )
     return build_fluid(cfg)
 
@@ -49,8 +50,8 @@ def test_adaptive_stepper_inside_training_episode():
     cfg = dataclasses.replace(
         FLUID_8, name="Fluid_tiny_adaptive", nx=16, sensors_per_axis=4,
         te=0.2, capacity=5_000, start_steps=2, update_after=2, update_loops=2,
-        adaptive=True,
     )
+    assert cfg.adaptive  # the shipped presets default to do_step2
     setup = build_fluid(cfg)
     ts = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
     ep = make_episode_fn(setup.env, setup.agent, learning=True)
