@@ -208,13 +208,20 @@ class PPOTrainer:
     """
 
     def __init__(self, env, agent: PPOAgent, n_envs: int,
-                 random_init: Optional[Callable] = None):
+                 random_init: Optional[Callable] = None, y0_pool=None):
+        """`random_init` must be jit-traceable; for host-only IC generators
+        (the fluid random-vortex case) pass `y0_pool` instead — a (P, ...)
+        array sampled uniformly at every reset (as BatchedTrainer does)."""
         self.env = env
         self.agent = agent
         self.n_envs = n_envs
         self.random_init = random_init
+        self.y0_pool = None if y0_pool is None else jnp.asarray(y0_pool)
 
     def _y0s(self, key):
+        if self.y0_pool is not None:
+            idx = jax.random.randint(key, (self.n_envs,), 0, self.y0_pool.shape[0])
+            return self.y0_pool[idx]
         if self.random_init is not None:
             return jax.vmap(self.random_init)(jax.random.split(key, self.n_envs))
         y0 = jnp.asarray(self.env.y0)
@@ -269,3 +276,49 @@ class PPOTrainer:
             return pstate, jnp.mean(traj["rewards"])
 
         return jax.jit(collect_and_update)
+
+
+def ppo_policy(agent: PPOAgent, pstate_or_params, deterministic: bool = True):
+    """Evaluation policy from PPO params: the clipped mean action (the
+    standard deterministic PPO eval). Accepts a PPOState or a params dict."""
+    params = (pstate_or_params if isinstance(pstate_or_params, dict)
+              else agent._params(pstate_or_params))
+
+    def policy_fn(obs, key):
+        mu, sig = agent.dist(params, obs)
+        a = mu if deterministic else mu + sig * jax.random.normal(key, mu.shape)
+        return jnp.clip(a, -agent.cfg.act_limit, agent.cfg.act_limit)
+
+    return policy_fn
+
+
+def train_ppo(trainer: PPOTrainer, iters: int, key=None, verbose: bool = True):
+    """PPO training driver: `iters` collect+update iterations with host-side
+    reward accounting and best-params snapshotting (the PPO analogue of the
+    PDEhook best-actor tracking; the reference ships create_agent_ppo with
+    no driver at all, PDEagent.jl:462-512).
+
+    Returns (PPOState, dict with rewards/best_params/best_reward/best_iter).
+    """
+    import numpy as np
+
+    agent = trainer.agent
+    key = key if key is not None else jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    pstate = agent.init_state(k0)
+    it = trainer.make_train_iter()
+    rewards = []
+    best = {"reward": -np.inf, "iter": 0, "params": None}
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        pstate, mean_r = it(pstate, k)
+        r = float(mean_r)
+        rewards.append(r)
+        if r > best["reward"]:
+            best.update(reward=r, iter=i + 1,
+                        params=jax.tree.map(np.asarray, agent._params(pstate)))
+        if verbose and (i + 1) % max(1, iters // 10) == 0:
+            print(f"[ppo] iter {i + 1}/{iters} mean step reward {r:.4f} "
+                  f"(best {best['reward']:.4f} @ {best['iter']})")
+    return pstate, {"rewards": np.asarray(rewards), "best_params": best["params"],
+                    "best_reward": best["reward"], "best_iter": best["iter"]}

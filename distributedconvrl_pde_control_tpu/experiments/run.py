@@ -207,6 +207,12 @@ def main(argv=None):
                     help="override the fluid grid size for --mesh runs")
     ap.add_argument("--horizon", type=float, default=None,
                     help="override the episode horizon te for --mesh runs")
+    ap.add_argument("--ppo", action="store_true",
+                    help="use the PPO agent variant (create_agent_ppo parity) "
+                         "instead of DDPG; train saves saves/ppo.msgpack, "
+                         "eval rolls out the deterministic mean policy")
+    ap.add_argument("--iters", type=int, default=60,
+                    help="PPO collect+update iterations for --ppo training")
     ap.add_argument("--batched", action="store_true",
                     help="train with the throughput configuration (vmapped "
                          "env batch, fused chunks) instead of the fidelity "
@@ -264,6 +270,55 @@ def main(argv=None):
             12.0 if args.preset.startswith("KellerSegel") else 200.0)
     if args.p_t_action is None:
         args.p_t_action = 0.0 if args.preset.startswith("Fluid") else args.p_te / 2.0
+
+    if args.ppo:
+        from distributedconvrl_pde_control_tpu.agents.ppo import (
+            PPOAgent,
+            PPOConfig,
+            PPOTrainer,
+            ppo_policy,
+            train_ppo,
+        )
+
+        acfg = setup.agent.cfg
+        pcfg = PPOConfig(ns=acfg.ns, na=acfg.na_rows, rollout_len=50,
+                         n_microbatches=16, n_epochs=4, learning_rate=3e-4)
+        pagent = PPOAgent(pcfg)
+        if args.train:
+            # fluid ICs are host-generated -> pool; KS random_init is traceable
+            pool = random_init = None
+            if setup.random_init is not None:
+                if args.preset.startswith("Fluid"):
+                    keys = jax.random.split(jax.random.PRNGKey(setup.seed), 16)
+                    pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+                else:
+                    random_init = setup.random_init
+            trainer = PPOTrainer(setup.env, pagent, n_envs=args.n_envs or 8,
+                                 random_init=random_init, y0_pool=pool)
+            pstate, info = train_ppo(
+                trainer, iters=args.iters,
+                key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed))
+            checkpoint.save_ppo(out_dir, pstate, info)
+            print(f"saved PPO to {out_dir}; best mean step reward "
+                  f"{info['best_reward']:.4f} @ iter {info['best_iter']}")
+            return
+        # --eval: deterministic mean-policy rollout through the standard path
+        pstate, info = checkpoint.load_ppo(
+            args.load_from or out_dir, pagent.init_state(jax.random.PRNGKey(0)))
+        params = info.get("best_params") or pagent._params(pstate)
+        policy = ppo_policy(pagent, params)
+        traces = rollout(setup.env, policy, te=args.p_te, t_action=args.p_t_action)
+        plotting.plot_heat(traces, os.path.join(out_dir, "heat_ppo.png"),
+                           title=f"{args.preset} PPO")
+        n_steps = traces["y"].shape[0]
+        act_start = int(round(args.p_t_action / setup.env.dt))
+        y = traces["y"]
+        pre = float(np.abs(y[max(0, act_start - 100):act_start]).mean())
+        post = float(np.abs(y[-max(1, n_steps // 10):]).mean())
+        print(json.dumps({"agent": "ppo", "pre_control_mean_abs_dev": pre,
+                          "post_control_mean_abs_dev": post,
+                          "suppression": post / pre if pre else None}))
+        return
 
     if args.train and args.batched:
         import numpy as _np

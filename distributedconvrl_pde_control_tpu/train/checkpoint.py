@@ -75,6 +75,48 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
     np.savez_compressed(hook_path, **payload)
 
 
+def save_ppo(dirpath: str, pstate, info: dict) -> None:
+    """Checkpoint a PPO run: PPOState pytree (msgpack) + reward history and
+    best params (npz). The PPO analogue of save() for the alternative agent
+    family (create_agent_ppo, PDEagent.jl:462-512)."""
+    os.makedirs(os.path.join(dirpath, "saves"), exist_ok=True)
+    host = jax.tree.map(to_numpy, pstate)
+    with open(os.path.join(dirpath, "saves", "ppo.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(host))
+    payload = {
+        "rewards": np.asarray(info["rewards"], np.float64),
+        "meta": np.frombuffer(json.dumps({
+            "best_reward": float(info["best_reward"]),
+            "best_iter": int(info["best_iter"]),
+        }).encode(), dtype=np.uint8),
+    }
+    if info.get("best_params") is not None:
+        flat, _ = jax.tree_util.tree_flatten_with_path(info["best_params"])
+        for path, leaf in flat:
+            payload["best_" + jax.tree_util.keystr(path)] = np.asarray(leaf)
+    np.savez_compressed(os.path.join(dirpath, "saves", "ppo_info.npz"), **payload)
+
+
+def load_ppo(dirpath: str, pstate_template):
+    """Returns (PPOState, info dict incl. best_params when stored)."""
+    with open(os.path.join(dirpath, "saves", "ppo.msgpack"), "rb") as f:
+        pstate = serialization.from_bytes(pstate_template, f.read())
+    pstate = jax.tree.map(jax.numpy.asarray, pstate)
+    data = np.load(os.path.join(dirpath, "saves", "ppo_info.npz"), allow_pickle=False)
+    meta = json.loads(bytes(data["meta"]).decode())
+    info = {"rewards": data["rewards"], **meta}
+    best_keys = [k for k in data.files if k.startswith("best_")]
+    if best_keys:
+        # rebuild the params dict against the template's structure
+        params_tmpl = {"trunk": pstate.trunk, "mu": pstate.mu,
+                       "logsig": pstate.logsig, "critic": pstate.critic}
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params_tmpl)
+        leaves = [jax.numpy.asarray(data["best_" + jax.tree_util.keystr(p)])
+                  for p, _ in flat]
+        info["best_params"] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return pstate, info
+
+
 def load(dirpath: str, ts_template: TrainState, number: Optional[int] = None):
     """Returns (TrainState, PDEHook). `ts_template` supplies the pytree
     structure/shapes (build it with `init_train_state` on the same setup).

@@ -84,3 +84,49 @@ def test_ppo_converges_on_ks():
         rews.append(float(r))
     rews = np.asarray(rews)
     assert rews[-5:].mean() > rews[:5].mean() + 0.05, rews
+
+
+def test_ppo_checkpoint_roundtrip(tmp_path):
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+
+    cfg = PPOConfig(ns=3, na=1)
+    agent = PPOAgent(cfg)
+    pstate = agent.init_state(jax.random.PRNGKey(3))
+    info = {"rewards": np.asarray([-1.0, -0.5]), "best_reward": -0.5,
+            "best_iter": 2, "best_params": jax.tree.map(np.asarray, agent._params(pstate))}
+    checkpoint.save_ppo(str(tmp_path), pstate, info)
+    pstate2, info2 = checkpoint.load_ppo(
+        str(tmp_path), agent.init_state(jax.random.PRNGKey(0)))
+    assert np.allclose(np.asarray(pstate.mu[0]["w"]), np.asarray(pstate2.mu[0]["w"]))
+    assert info2["best_reward"] == -0.5 and info2["best_iter"] == 2
+    got = info2["best_params"]
+    assert np.allclose(np.asarray(got["trunk"][0]["w"]),
+                       np.asarray(pstate.trunk[0]["w"]))
+
+
+def test_shipped_ppo_artifact_stabilizes():
+    """The committed KS22 PPO checkpoint reproduces stabilization through the
+    deterministic mean policy (RESULTS.md PPO row)."""
+    import os
+
+    import pytest
+
+    from distributedconvrl_pde_control_tpu.agents.ppo import ppo_policy
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22_ppo")
+    if not os.path.exists(os.path.join(art, "saves", "ppo.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS22)
+    cfg = PPOConfig(ns=setup.agent.cfg.ns, na=1, rollout_len=50,
+                    n_microbatches=16, n_epochs=4, learning_rate=3e-4)
+    agent = PPOAgent(cfg)
+    pstate, info = checkpoint.load_ppo(art, agent.init_state(jax.random.PRNGKey(0)))
+    policy = ppo_policy(agent, info.get("best_params") or agent._params(pstate))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.15 * pre, (pre, post)
