@@ -214,9 +214,26 @@ KS22_GLOBAL = dataclasses.replace(
 )
 
 
+def ks_global_fixed_y0() -> np.ndarray:
+    """The stored fixed random init the reference's mono setup uses as its
+    env default (KSglobalSetup.jl:62 loads y0.jld2 — an 8-random-sine field
+    normalized to ||y0||=30, per generate_random_init at :314-323). The exact
+    field values are shipped as data (data_ks_global_y0.npy, extracted from
+    the reference's y0.jld2) so the ablation protocol matches bit-for-bit."""
+    import os
+
+    return np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data_ks_global_y0.npy"))
+
+
 def build_ks_global(cfg: KSConfig = KS22_GLOBAL) -> Setup:
     """Mono/global-agent ablation (KSglobalSetup.jl): one big MLP sees the
-    whole sensor vector, emits all actuator commands, scalar mean reward."""
+    whole sensor vector, emits all actuator commands, scalar mean reward.
+
+    Per-episode training inits stay random (the reference trains with
+    use_random_init=true, KSglobalSetup.jl:326,330); the FIXED stored y0 is
+    the env reset default, used by evaluation protocols with
+    use_random_init=false (KSglobalSetup.jl:400)."""
     solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling, mu=cfg.mu)
     sensors = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_sensors,
                                   norm_mode=1)
@@ -252,7 +269,7 @@ def build_ks_global(cfg: KSConfig = KS22_GLOBAL) -> Setup:
         featurize=featurizer,
         prepare_action=prepare_action,
         reward_fn=reward_fn,
-        y0=ks_standard_y0(cfg.nx),
+        y0=ks_global_fixed_y0() if cfg.nx == 192 else ks_standard_y0(cfg.nx),
         action_shape=(cfg.n_actuators, 1),  # flat action vector as one column
         n_rewards=1,
         te=cfg.te,

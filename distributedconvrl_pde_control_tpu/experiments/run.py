@@ -166,6 +166,11 @@ def main(argv=None):
     mode.add_argument("--train", action="store_true")
     mode.add_argument("--eval", action="store_true")
     mode.add_argument("--train-multi", action="store_true")
+    mode.add_argument("--hyperopt", type=int, metavar="N_TRIALS", default=None,
+                      help="random hyperparameter search: N trials scored by "
+                           "the test_setup objective (KSglobalSetup.jl:405)")
+    ap.add_argument("--hyperopt-episodes", type=int, default=30,
+                    help="episodes per hyperopt trial (reference uses 100)")
     ap.add_argument("--loops", type=int, default=None)
     ap.add_argument("--no-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
@@ -258,6 +263,23 @@ def main(argv=None):
     from distributedconvrl_pde_control_tpu.train.eval import actor_policy, energy_trace, rollout
     from distributedconvrl_pde_control_tpu.train.loop import init_train_state
     from distributedconvrl_pde_control_tpu.viz import plotting
+
+    if args.hyperopt:
+        from distributedconvrl_pde_control_tpu import configs as C
+        from distributedconvrl_pde_control_tpu.train.hyperopt import search
+
+        bases = {
+            "KS22_global": (C.KS22_GLOBAL, C.build_ks_global),
+            "KS22": (C.KS22, C.build_ks),
+            "KS200": (C.KS200, C.build_ks),
+        }
+        if args.preset not in bases:
+            raise SystemExit(f"--hyperopt supports {sorted(bases)}")
+        cfg, build_fn = bases[args.preset]
+        search(cfg, build_fn, n_trials=args.hyperopt,
+               seed=args.seed if args.seed is not None else 0,
+               n_episodes=args.hyperopt_episodes)
+        return
 
     setup = build_setup(args.preset)
     out_dir = args.out or os.path.join("runs", args.preset)
