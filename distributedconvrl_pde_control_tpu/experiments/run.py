@@ -190,6 +190,16 @@ def main(argv=None):
     ap.add_argument("--random-init", action="store_true",
                     help="evaluate from a random initial condition (the hook's "
                          "use_random_init flow) instead of the standard y0")
+    ap.add_argument("--plot-separate", action="store_true",
+                    help="write each heat panel as its own figure "
+                         "(plot_heat plot_separate, plotting.jl:4)")
+    ap.add_argument("--from-step", type=int, default=0,
+                    help="heatmap window start (plot_heat `from`)")
+    ap.add_argument("--to-step", type=int, default=None,
+                    help="heatmap window end (plot_heat `to`)")
+    ap.add_argument("--serve", action="store_true",
+                    help="after loading, run the closed-loop serving probe "
+                         "(experiments.serve latency report) instead of plots")
     ap.add_argument("--plot-best", action="store_true",
                     help="render the stored best-episode trace instead of a fresh "
                          "rollout (plot_heat(plot_best=true), plotting.jl)")
@@ -427,6 +437,12 @@ def main(argv=None):
 
     # ---- eval: load checkpoint, plot_heat / testrun protocol
     load_dir = args.load_from or out_dir
+    if args.serve:
+        from distributedconvrl_pde_control_tpu.experiments import serve
+
+        serve.main([args.preset, "--load-from", load_dir]
+                   + (["--cpu"] if args.cpu else []))
+        return
     ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
     ts, hook = checkpoint.load(load_dir, ts_template)
     actor = (
@@ -463,7 +479,9 @@ def main(argv=None):
         # mask by 'active': early-terminated runs freeze their terminal frame
         print({k: mean_energy(tr) for k, tr in runs.items()})
     else:
-        plotting.plot_heat(traces, os.path.join(out_dir, "heat.png"), title=args.preset)
+        plotting.plot_heat(traces, os.path.join(out_dir, "heat.png"), title=args.preset,
+                           plot_separate=args.plot_separate,
+                           from_step=args.from_step, to_step=args.to_step)
         plotting.plot_sums(traces, os.path.join(out_dir, "sums.png"))
         plotting.plot_actions(traces, os.path.join(out_dir, "actions.png"))
         n_steps = traces["y"].shape[0]

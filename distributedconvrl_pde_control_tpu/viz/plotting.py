@@ -44,15 +44,36 @@ def _as_real_field(y: np.ndarray) -> np.ndarray:
 
 
 def plot_heat(traces: dict, path: Optional[str] = None, from_step: int = 0,
-              to_step: Optional[int] = None, title: str = ""):
+              to_step: Optional[int] = None, title: str = "",
+              plot_separate: bool = False):
     """Space-time heatmaps of y(x,t), forcing p(x,t) and reward(t) for 1D
-    fields; the plot_heat panel layout of plotting.jl:146-158."""
+    fields; the plot_heat panel layout of plotting.jl:146-158.
+
+    `from_step`/`to_step` window the trace (the reference's `from`/`to`
+    kwargs, plotting.jl:4); `plot_separate=True` writes each panel as its
+    own figure `<stem>_{y,p,reward}.png` (plot_separate, plotting.jl:4)."""
     y = np.asarray(traces["y"])[from_step:to_step]
     p = np.asarray(traces["forcing"])[from_step:to_step]
     r = np.asarray(traces["reward"])[from_step:to_step]
     if y.ndim == 3 and y.shape[1] == 2:  # Keller-Segel two-field: plot u
         y = y[:, 0]
         p = p if p.ndim == 2 else p
+    if plot_separate:
+        import os
+
+        stem, ext = (os.path.splitext(path) if path else ("heat", ".png"))
+        outs = []
+        for arr, name, cmap in ((y, "y", "RdBu_r"), (p, "p", "PiYG"),
+                                (r, "reward", "viridis")):
+            fig, ax = plt.subplots(figsize=(10, 4))
+            im = ax.imshow(arr.T, aspect="auto", origin="lower", cmap=cmap,
+                           interpolation="nearest")
+            ax.set_xlabel("step")
+            ax.set_ylabel("x" if name != "reward" else "actuator")
+            ax.set_title(f"{name} {title}")
+            fig.colorbar(im, ax=ax)
+            outs.append(_finish(fig, f"{stem}_{name}{ext}" if path else None))
+        return outs
     fig, axes = plt.subplots(3, 1, figsize=(10, 9), sharex=True)
     im0 = axes[0].imshow(y.T, aspect="auto", origin="lower", cmap="RdBu_r",
                          interpolation="nearest")

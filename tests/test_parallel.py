@@ -372,3 +372,44 @@ def test_sharded_keller_segel_matches_single_chip():
     )
     got = np.asarray(jax.jit(step)(jnp.asarray(y), jnp.asarray(f)))
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_tp_learn_step_matches_single_device():
+    """The TP completeness path (parallel/tp.py): jit-partitioned
+    learn_batch with the critic sharded over an 8-way 'tp' mesh reproduces
+    the single-device update."""
+    from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGConfig
+    from distributedconvrl_pde_control_tpu.parallel.tp import (
+        critic_tp_spec,
+        make_tp_learn_step,
+        make_tp_mesh,
+    )
+
+    cfg = DDPGConfig(ns=4, na_rows=1, n_actuators=8, batch_size=16,
+                     nna_scale=1.6, nna_scale_critic=8.0)  # hidden 160 % 8 == 0
+    agent = DDPGAgent(cfg)
+    astate = agent.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = tuple(jnp.asarray(x, jnp.float32) for x in (
+        rng.standard_normal((4, 16)), rng.standard_normal((1, 16)),
+        rng.standard_normal(16), np.zeros(16), rng.standard_normal((4, 16))))
+
+    want = agent.learn_batch(astate, batch)
+
+    mesh = make_tp_mesh(8)
+    tp_step = make_tp_learn_step(agent, mesh)
+    got = tp_step(astate, batch)
+
+    for i in range(len(want.critic)):
+        np.testing.assert_allclose(np.asarray(got.critic[i]["w"]),
+                                   np.asarray(want.critic[i]["w"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.actor[0]["w"]),
+                               np.asarray(want.actor[0]["w"]), atol=1e-5)
+    np.testing.assert_allclose(float(got.critic_loss), float(want.critic_loss),
+                               atol=1e-5)
+    # the critic really is sharded over tp, not replicated
+    specs = critic_tp_spec(astate.critic)
+    sharded = tp_step(astate, batch, shard_inputs=True)
+    w0 = sharded.critic[0]["w"]
+    assert len({s.data.shape for s in w0.addressable_shards}) == 1
+    assert w0.addressable_shards[0].data.shape[0] == w0.shape[0] // 8, specs[0]
