@@ -13,11 +13,17 @@ grid, every intermediate lives in registers/VMEM, and nothing round-trips
 to HBM between stages — the maximal-fusion counterpart of the XLA path, to
 settle ROADMAP #3 ("re-evaluate Pallas at 2D scale") with a measurement.
 
-Verdict (PERFORMANCE.md "Pallas at 2D" for numbers): like the 1D KS kernel,
-it validates to ~1e-5 and runs at parity-or-slower — both paths are
-MXU-compute-bound at f32/HIGHEST, so manual VMEM residency has no HBM
-traffic to save. Kept as the validated 2D template; the production solvers
-stay on XLA.
+Verdict (measured on the real v5e chip, best-of-3 x 50-100 reps; see
+PERFORMANCE.md "Pallas at 2D"): validates to ~2.5e-7 relative and runs at
+PARITY within noise — 0.89x..1.21x vs XLA across (n, B) in {128, 256} x
+{16..128}. Both paths are MXU-compute-bound at f32/HIGHEST (round-1
+roofline: ~17 TFLOPS sustained on the same DFT matmuls), so the manual
+VMEM residency and fusion have no HBM traffic left to save. Per the
+round-2 decision gate ("keep only if it beats XLA"), the production
+solvers stay on XLA; this kernel is retained as the validated 2D Pallas
+template (grid/BlockSpec layout, transpose handling, VMEM budgeting:
+tile_b * n^2 * 4B x ~20 live intermediates must fit 16 MB — tile_b 8 at
+128^2, 1-2 at 256^2).
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ class PallasAdvection2D:
     n: int
     lx: float = 1.0
     tile_b: int = 8
+    interpret: bool = False  # CPU-testable interpreter mode
 
     def _consts(self):
         n = self.n
@@ -50,7 +57,6 @@ class PallasAdvection2D:
         ang = 2.0 * np.pi * np.outer(j, j) / n
         c = np.cos(ang).astype(np.float32)
         s = np.sin(ang).astype(np.float32)
-        k = 2.0 * np.pi * np.fft.fftfreq(n, d=self.lx / n) * (self.lx / self.lx)
         k = (2.0 * np.pi * np.fft.fftfreq(n, d=self.lx / n)).astype(np.float32)
         kx = np.broadcast_to(k[None, :], (n, n)).astype(np.float32)
         ky = np.broadcast_to(k[:, None], (n, n)).astype(np.float32)
@@ -127,6 +133,7 @@ class PallasAdvection2D:
             in_specs=[field_spec, field_spec] + [const_spec] * 6,
             out_specs=[field_spec, field_spec],
             out_shape=[out, out],
+            interpret=self.interpret,
         )(wr, wi, *consts)
 
 

@@ -38,3 +38,23 @@ def test_ks_pallas_tiled_batch():
     want = np.asarray(solver.step(y, f))
     got = np.asarray(stepper.step(y, f))
     assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_ns_advection_pallas_matches_xla():
+    """The fused 2D advection kernel (round-2 Pallas study) matches the
+    production XLA advection path."""
+    from distributedconvrl_pde_control_tpu.ops.pallas.ns_advection import (
+        PallasAdvection2D,
+        xla_advection_ri,
+    )
+
+    n, B = 32, 4
+    rng = np.random.default_rng(0)
+    wh = np.fft.fft2(rng.standard_normal((B, n, n)))
+    wr = jnp.asarray(wh.real, jnp.float32)
+    wi = jnp.asarray(wh.imag, jnp.float32)
+    want_r, want_i = jax.vmap(xla_advection_ri(n))(wr, wi)
+    got_r, got_i = PallasAdvection2D(n=n, tile_b=2, interpret=True)(wr, wi)
+    scale = float(np.abs(np.asarray(want_r)).max())
+    assert np.abs(np.asarray(got_r) - np.asarray(want_r)).max() < 1e-4 * scale
+    assert np.abs(np.asarray(got_i) - np.asarray(want_i)).max() < 1e-4 * scale
