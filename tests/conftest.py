@@ -20,3 +20,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _pin_prng_impl():
+    """Pin the default PRNG per test: importing __graft_entry__ (or any TPU
+    entry point) flips the GLOBAL default to rbg, which changes every
+    PRNGKey stream and makes seed-sensitive training tests order-dependent."""
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    yield
