@@ -42,7 +42,7 @@ def use_matmul_dft(mode: str = "auto") -> bool:
     path integrates at tol 1e0, FluidSetup.jl:179).
     """
     if mode != "auto":
-        return mode in ("matmul", "matmul_fast")
+        return mode in ("matmul", "matmul_fast", "matmul_hi")
     if _FORCE == "matmul":
         return True
     if _FORCE == "native":
@@ -51,7 +51,11 @@ def use_matmul_dft(mode: str = "auto") -> bool:
 
 
 def _prec(mode: str):
-    return jax.lax.Precision.DEFAULT if mode == "matmul_fast" else _P
+    if mode == "matmul_fast":
+        return jax.lax.Precision.DEFAULT  # 1-pass bf16
+    if mode == "matmul_hi":
+        return jax.lax.Precision.HIGH  # 3-pass bf16 (~f32-grade, ~2x cheaper)
+    return _P
 
 
 _P = jax.lax.Precision.HIGHEST
@@ -158,14 +162,14 @@ def ifft(x: jnp.ndarray, axis: int = -1, mode: str = "auto") -> jnp.ndarray:
 def fft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
     if not use_matmul_dft(mode):
         return jnp.fft.fft2(x)
-    m = "matmul_fast" if mode == "matmul_fast" else "matmul"
+    m = mode if mode in ("matmul_fast", "matmul_hi") else "matmul"
     return fft(fft(x, axis=-1, mode=m), axis=-2, mode=m)
 
 
 def ifft2(x: jnp.ndarray, mode: str = "auto") -> jnp.ndarray:
     if not use_matmul_dft(mode):
         return jnp.fft.ifft2(x)
-    m = "matmul_fast" if mode == "matmul_fast" else "matmul"
+    m = mode if mode in ("matmul_fast", "matmul_hi") else "matmul"
     return ifft(ifft(x, axis=-1, mode=m), axis=-2, mode=m)
 
 

@@ -91,3 +91,22 @@ def test_matmul_fast_mode_within_loose_tolerance():
                       .step_real(omg, zero, 0.01, 4))
     rel = np.abs(fast - hi).max() / np.abs(hi).max()
     assert rel < 5e-2, rel
+
+
+def test_matmul_hi_mode_dispatch():
+    """matmul_hi (3-pass bf16, Precision.HIGH) is accepted by every
+    transform and is exact on CPU (precision levels only bind on the MXU)."""
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.ops import fourier as F
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 16)), jnp.float32)
+    assert F.use_matmul_dft("matmul_hi")
+    import jax
+
+    got = F.fft2(jax.lax.complex(x, jnp.zeros_like(x)), mode="matmul_hi")
+    want = np.fft.fft2(np.asarray(x))
+    assert np.allclose(np.asarray(got), want, atol=1e-3)
+    re, im = F.rfft_ri(x, mode="matmul_hi")
+    y = F.irfft_ri(re, im, 16, mode="matmul_hi")
+    assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-5)
