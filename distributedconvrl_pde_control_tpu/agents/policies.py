@@ -45,8 +45,16 @@ class NegatePolicy:
     action_shape: tuple
     center_row: int  # index of the own-site sensor row in the obs matrix
     faithful: bool = False
+    # warmup-agent semantics (create_agent_negate, FluidSetup.jl:284-326):
+    # the reference wraps NegatePolicy with start_steps/start_policy and
+    # resets its step counter PostEpisode. Our rollouts are stateless scans,
+    # so the counter is the scan's step index, passed by eval.rollout when
+    # start_steps > 0; episode boundaries reset it by construction (one
+    # rollout = one episode).
+    start_steps: int = 0
+    start_policy: object = None  # e.g. ZeroPolicy; None == zeros
 
-    def __call__(self, obs, key=None):
+    def __call__(self, obs, key=None, step_idx=None):
         n_rows, n_act = self.action_shape
         if self.faithful:
             flat = obs.T.reshape(-1)  # column-major walk, like Julia's A[i]
@@ -54,4 +62,9 @@ class NegatePolicy:
         else:
             act = -obs[self.center_row].reshape(1, -1)
             act = jnp.broadcast_to(act, self.action_shape)
-        return jnp.clip(act, -1.0, 1.0)
+        act = jnp.clip(act, -1.0, 1.0)
+        if self.start_steps > 0 and step_idx is not None:
+            start = (self.start_policy(obs, key) if self.start_policy is not None
+                     else jnp.zeros(self.action_shape, jnp.float32))
+            act = jnp.where(step_idx < self.start_steps, start, act)
+        return act

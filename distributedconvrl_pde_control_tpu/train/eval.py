@@ -36,11 +36,17 @@ def rollout(env: PDEEnv, policy_fn: Callable, y0=None, te: Optional[float] = Non
     n_steps = env.max_steps
     t_action_steps = int(round(t_action / env.dt))
     key = key if key is not None else jax.random.PRNGKey(0)
+    # policies with warmup-agent semantics (NegatePolicy's start_steps,
+    # FluidSetup.jl:284-299) receive the scan step index as their counter
+    import inspect
+
+    wants_step = "step_idx" in inspect.signature(policy_fn).parameters
 
     def step(carry, step_idx):
         estate, k = carry
         k, k_act = jax.random.split(k)
-        action = policy_fn(estate.obs, k_act)
+        action = (policy_fn(estate.obs, k_act, step_idx=step_idx) if wants_step
+                  else policy_fn(estate.obs, k_act))
         action = jnp.where(step_idx < t_action_steps, jnp.zeros_like(action), action)
         active = jnp.logical_not(estate.done)
         new_estate = jax.lax.cond(active, lambda e: env.step(e, action), lambda e: e, estate)

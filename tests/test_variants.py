@@ -54,3 +54,39 @@ def test_step_timer_and_trace(tmp_path):
     import os
 
     assert any(os.scandir(tmp_path))
+
+
+def test_negate_policy_warmup_agent_semantics():
+    """NegatePolicy as a warmup agent (create_agent_negate,
+    FluidSetup.jl:284-326): start_policy until start_steps, then opposition;
+    the counter is the rollout step index."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.agents.policies import (
+        NegatePolicy,
+        RandomPolicy,
+    )
+
+    pol = NegatePolicy((1, 4), center_row=1, start_steps=3,
+                       start_policy=RandomPolicy((1, 4)))
+    obs = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4)) / 12.0
+    k = jax.random.PRNGKey(0)
+    a_warm = pol(obs, k, step_idx=jnp.asarray(1))
+    a_late = pol(obs, k, step_idx=jnp.asarray(5))
+    assert np.allclose(np.asarray(a_late), -np.asarray(obs[1]).reshape(1, 4))
+    assert not np.allclose(np.asarray(a_warm), np.asarray(a_late))
+
+    # end-to-end through the rollout scan (step index threading)
+    from distributedconvrl_pde_control_tpu.configs import KS22, build_ks
+    import dataclasses as dc
+
+    setup = build_ks(dc.replace(KS22, te=1.0))
+    neg = NegatePolicy(setup.env.action_shape, center_row=0, start_steps=5)
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    tr = rollout(setup.env, neg, te=1.0)
+    # warmup steps emit zero actions, later steps don't
+    assert np.allclose(tr["action"][:4], 0.0)
+    assert np.abs(tr["action"][6:]).max() > 0.0
