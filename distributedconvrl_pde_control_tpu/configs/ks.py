@@ -42,6 +42,10 @@ class KSConfig:
     t0: float = 0.0
     dt: float = 0.1
     oversampling: int = 30
+    # transform backend/precision ("auto" = matmul-DFT at f32/HIGHEST on
+    # TPU; "matmul_hi" = 3-pass bf16, measured 2.6e-5 rel/step and 1.29x
+    # throughput — the batched bench configuration, PERFORMANCE.md)
+    fft_mode: str = "auto"
     max_value: float = 30.0
     check_max_value: str = "y"
     # featurization
@@ -120,7 +124,8 @@ def ks_random_init(cfg: KSConfig):
 
 def build_ks(cfg: KSConfig = KS22) -> Setup:
     """Assemble the distributed-agent KS setup (KSSetup.jl:249-300)."""
-    solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling, mu=cfg.mu)
+    solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling, mu=cfg.mu,
+                      fft_mode=cfg.fft_mode)
     sensors = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_sensors,
                                   norm_mode=1)
     actuators = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_actuators,
@@ -234,7 +239,8 @@ def build_ks_global(cfg: KSConfig = KS22_GLOBAL) -> Setup:
     use_random_init=true, KSglobalSetup.jl:326,330); the FIXED stored y0 is
     the env reset default, used by evaluation protocols with
     use_random_init=false (KSglobalSetup.jl:400)."""
-    solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling, mu=cfg.mu)
+    solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling, mu=cfg.mu,
+                      fft_mode=cfg.fft_mode)
     sensors = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_sensors,
                                   norm_mode=1)
     actuators = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_actuators,
