@@ -236,6 +236,16 @@ def main(argv=None):
                     help="fused env steps for --batched training")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="deterministic eval cadence (steps) for --batched")
+    ap.add_argument("--noise-every", type=int, default=None,
+                    help="--batched noise-decay cadence in steps "
+                         "(default total_steps/loops)")
+    ap.add_argument("--noise-decay", type=float, default=None,
+                    help="--batched noise-decay factor (default the "
+                         "preset's per-loop decay)")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="--batched replay capacity override (the preset's "
+                         "single-env size wraps in minutes at batched push "
+                         "rates: n_envs*n_act transitions per step)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of one training loop "
                          "into <out>/profile/ and print per-phase timings")
@@ -364,6 +374,14 @@ def main(argv=None):
         from distributedconvrl_pde_control_tpu.train.loop import TrainState
 
         n_envs = args.n_envs or 256
+        if args.capacity:
+            import dataclasses as _dc
+
+            from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
+
+            setup = _dc.replace(
+                setup, agent=DDPGAgent(_dc.replace(setup.agent.cfg,
+                                                   capacity=args.capacity)))
         # host-precomputed fresh-IC pool (works for every family; fluid's
         # random-vortex generator is host-only)
         pool = None
@@ -381,8 +399,8 @@ def main(argv=None):
         ts, hook, means = train_batched(
             trainer, total_steps=args.total_steps,
             key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),
-            noise_decay_every=max(1, args.total_steps // setup.loops),
-            noise_decay=setup.noise_decay,
+            noise_decay_every=args.noise_every or max(1, args.total_steps // setup.loops),
+            noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
             chunk_len=args.chunk_len or 50,
             verbose=True, eval_every=args.eval_every)
         acfg = setup.agent.cfg

@@ -279,9 +279,12 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
 
     Observability: per-env episode accounting and on-device best-actor
     snapshots feed a standard PDEHook (artifact-grade — checkpoint.save
-    ships it unchanged); `eval_every > 0` additionally runs a deterministic
-    evaluation episode batch every N steps and records (step, mean reward)
-    pairs.
+    ships it unchanged). `eval_every > 0` additionally runs a deterministic
+    evaluation episode batch every N steps; in that case the DETERMINISTIC
+    evals drive the best-actor snapshot (hook.bestreward then holds the
+    best eval mean STEP reward): with hundreds of noisy episodes finishing
+    per chunk, the reference's best-noisy-episode rule (PDEhook.jl:65-76)
+    selects exploration luck, not policy quality.
 
     Returns (state, hook, mean rewards per chunk).
     """
@@ -299,6 +302,7 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     steps_done = 0
     next_decay = noise_decay_every if noise_decay_every else None
     next_eval = eval_every if eval_every else None
+    best_eval = None  # (mean step reward, step, actor params)
     while steps_done < total_steps:
         ts, recs = chunk_fn(ts)
         hook.feed_episode_records(recs)
@@ -310,10 +314,18 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
         if next_eval is not None and steps_done >= next_eval:
             r_eval = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
             hook.evals.append((steps_done, r_eval))
+            if best_eval is None or r_eval > best_eval[0]:
+                best_eval = (r_eval, steps_done,
+                             jax.tree.map(_np.asarray, ts.agent.actor))
             next_eval += eval_every
         if verbose:
             print(f"steps {steps_done}: mean reward {chunk_means[-1]:.4f} "
                   f"noise {float(ts.agent.act_noise):.4f}")
-    hook.adopt_device_best(ts.best_reward, ts.best_episode, ts.best_actor)
+    if best_eval is not None:
+        hook.best_actor = best_eval[2]
+        hook.bestreward = best_eval[0]
+        hook.bestepisode = int(ts.ep_count)  # episode index unavailable mid-eval
+    else:
+        hook.adopt_device_best(ts.best_reward, ts.best_episode, ts.best_actor)
     hook.current_actor = ts.agent.actor
     return ts, hook, _np.asarray(chunk_means)

@@ -147,3 +147,29 @@ def test_light_checkpoint_roundtrip(trained, tmp_path):
         assert np.allclose(np.asarray(a["w"]), np.asarray(b["w"]))
     assert int(ts2.replay.size) == 0  # fresh buffer
     assert hook2.bestreward == hook.bestreward
+
+
+def test_shipped_batched_artifact_stabilizes():
+    """The throughput-mode artifact (artifacts/KS22_batched: 3000 fused
+    steps x 256 envs, ~1 s of steady-state TPU compute) must reproduce
+    stabilization through the standard eval path — the checked-in evidence
+    behind PERFORMANCE.md's wall-clock-to-stabilization claim."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22_batched")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS22)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.1 * pre, (pre, post)
