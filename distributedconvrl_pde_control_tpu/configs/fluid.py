@@ -41,6 +41,11 @@ class FluidConfig:
     lx: float = 1.0
     nu: float = 5e-5
     dealias: bool = True
+    # transform precision tier (ops.fourier): "auto" = f32/HIGHEST matmul-DFT
+    # on TPU; "matmul_hi" (3-pass bf16) / "matmul_fast" (1-pass) are
+    # measured opt-ins — the adaptive stepper's tol-1e0 floor dwarfs both
+    # tiers' error (PERFORMANCE.md precision study)
+    fft_mode: str = "auto"
     adaptive: bool = False  # do_step2 semantics: adaptive RK4, tol 1e0
     adaptive_tol: float = 1.0  # FluidSetup.jl:179
     # env (FluidSetup.jl:44-57)
@@ -192,7 +197,8 @@ def fluid_agent_config(cfg: FluidConfig, obs_dim: int, capacity: int | None = No
 
 def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
     n = cfg.grid_nx
-    solver = NSSolver(nx=n, ny=n, lx=cfg.lx, ly=cfg.lx, nu=cfg.nu, dealias=cfg.dealias)
+    solver = NSSolver(nx=n, ny=n, lx=cfg.lx, ly=cfg.lx, nu=cfg.nu, dealias=cfg.dealias,
+                      fft_mode=cfg.fft_mode)
     n_act = cfg.sensors_per_axis**2
     sensors, actuators = fluid_kernels(cfg)
     sensor_matrix = jnp.asarray(sensors.reshape(n_act, -1), jnp.float32)
