@@ -50,6 +50,43 @@ def replay_init(capacity: int, ns: int, na: int) -> Replay:
     )
 
 
+def replay_push_flat(rb: Replay, s_rows, a_rows, r_vec, t_vec, sn_rows) -> Replay:
+    """Push `n` transitions given as ROW blocks (n, dim).
+
+    When the capacity divides evenly by the (static) push width — true for
+    every shipped preset, whose pushes are always `n_actuators` (or
+    n_envs*n_actuators) wide — the write is a CONTIGUOUS
+    `dynamic_update_slice`: the pointer only ever visits multiples of n, so
+    blocks never wrap, and XLA lowers the update in place. Measured at 16k
+    envs (131k-row pushes) this is 2.1x faster per train step than the
+    general scatter, which falls back only for non-dividing widths
+    (PERFORMANCE.md replay-push note).
+    """
+    n = r_vec.shape[0]
+    capacity = rb.s.shape[0]
+    if capacity % n == 0:
+        up = jax.lax.dynamic_update_slice_in_dim
+        return rb.replace(
+            s=up(rb.s, s_rows, rb.ptr, 0),
+            a=up(rb.a, a_rows, rb.ptr, 0),
+            r=up(rb.r, r_vec, rb.ptr, 0),
+            t=up(rb.t, t_vec, rb.ptr, 0),
+            sn=up(rb.sn, sn_rows, rb.ptr, 0),
+            ptr=(rb.ptr + n) % capacity,
+            size=jnp.minimum(rb.size + n, capacity),
+        )
+    idx = (rb.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
+    return rb.replace(
+        s=rb.s.at[idx].set(s_rows),
+        a=rb.a.at[idx].set(a_rows),
+        r=rb.r.at[idx].set(r_vec),
+        t=rb.t.at[idx].set(t_vec),
+        sn=rb.sn.at[idx].set(sn_rows),
+        ptr=(rb.ptr + n) % capacity,
+        size=jnp.minimum(rb.size + n, capacity),
+    )
+
+
 def replay_push_columns(rb: Replay, s_cols, a_cols, r_vec, terminal, sn_cols) -> Replay:
     """Push one env step's per-actuator transitions.
 
@@ -58,18 +95,8 @@ def replay_push_columns(rb: Replay, s_cols, a_cols, r_vec, terminal, sn_cols) ->
     — or (1,) in mono mode; terminal: scalar bool shared by all columns.
     """
     n = r_vec.shape[0]
-    capacity = rb.s.shape[0]
-    idx = (rb.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
     t_vec = jnp.full((n,), terminal, jnp.float32)
-    return rb.replace(
-        s=rb.s.at[idx].set(s_cols.T),
-        a=rb.a.at[idx].set(a_cols.T),
-        r=rb.r.at[idx].set(r_vec),
-        t=rb.t.at[idx].set(t_vec),
-        sn=rb.sn.at[idx].set(sn_cols.T),
-        ptr=(rb.ptr + n) % capacity,
-        size=jnp.minimum(rb.size + n, capacity),
-    )
+    return replay_push_flat(rb, s_cols.T, a_cols.T, r_vec, t_vec, sn_cols.T)
 
 
 def replay_sample(rb: Replay, key, batch_size: int, exclude_newest: int):

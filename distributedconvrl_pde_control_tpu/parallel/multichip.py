@@ -55,7 +55,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent, DDPGState
-from distributedconvrl_pde_control_tpu.agents.replay import Replay, replay_init, replay_sample
+from distributedconvrl_pde_control_tpu.agents.replay import (
+    Replay,
+    replay_init,
+    replay_push_flat,
+    replay_sample,
+)
 from distributedconvrl_pde_control_tpu.configs.fluid import (
     FluidConfig,
     fluid_agent_config,
@@ -154,8 +159,12 @@ class ShardedFluidTrainer:
         self.featurizer = fluid_featurizer(
             cfg, jnp.asarray(sens.reshape(n_act, -1), jnp.float32)
         )
+        # round the per-dp capacity up to a multiple of the per-step push
+        # width so pushes take the contiguous fast path (replay_push_flat)
+        push = (tcfg.n_envs // self.n_dp) * n_act
+        capacity = ((tcfg.capacity_per_dp + push - 1) // push) * push
         self.agent = DDPGAgent(
-            fluid_agent_config(cfg, self.featurizer.obs_dim, capacity=tcfg.capacity_per_dp)
+            fluid_agent_config(cfg, self.featurizer.obs_dim, capacity=capacity)
         )
         self.max_steps = int(math.ceil((cfg.te - cfg.t0) / cfg.dt - 1e-9))
 
@@ -316,21 +325,17 @@ class ShardedFluidTrainer:
         done = jnp.logical_or(horizon, blowup)
         completed = jnp.logical_and(horizon, jnp.logical_not(blowup))
 
-        # ---- replay push (local, per dp shard; identical across sp)
+        # ---- replay push (local, per dp shard; identical across sp);
+        # contiguous fast path when capacity_per_dp divides by the push
+        # width (ShardedTrainConfig rounds it up, so it always does)
         rb = jax.tree.map(_local, state.replay)
         n_push = bl * n_act
         capacity = rb.s.shape[0]
-        idx = (rb.ptr + jnp.arange(n_push, dtype=jnp.int32)) % capacity
         t_flat = jnp.repeat(done.astype(jnp.float32), n_act)
         safe_r = jnp.where(jnp.isfinite(reward), reward, -cfg.max_value)
-        rb = rb.replace(
-            s=rb.s.at[idx].set(obs_flat.T),
-            a=rb.a.at[idx].set(actions_flat.T),
-            r=rb.r.at[idx].set(safe_r.reshape(-1)),
-            t=rb.t.at[idx].set(t_flat),
-            sn=rb.sn.at[idx].set(jnp.moveaxis(obs_new, 0, 1).reshape(acfg.ns, -1).T),
-            ptr=(rb.ptr + n_push) % capacity,
-            size=jnp.minimum(rb.size + n_push, capacity),
+        rb = replay_push_flat(
+            rb, obs_flat.T, actions_flat.T, safe_r.reshape(-1), t_flat,
+            jnp.moveaxis(obs_new, 0, 1).reshape(acfg.ns, -1).T,
         )
 
         # ---- learning: local sample, dp-pmean'd gradients. The gate depends

@@ -26,6 +26,7 @@ from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
 from distributedconvrl_pde_control_tpu.agents.replay import (
     Replay,
     replay_init,
+    replay_push_flat,
     replay_sample,
 )
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
@@ -83,15 +84,32 @@ class BatchedTrainer:
         y0 = jnp.asarray(self.env.y0)
         return jnp.broadcast_to(y0, (n,) + y0.shape)
 
+    def _fresh_states(self, key, n):
+        """Fresh reset EnvStates for auto-reset. With a y0 pool the reset
+        states (incl. featurization) are precomputed ONCE and gathered —
+        measured at 16k envs, regenerating resets every step cost ~20% of
+        the whole fused train step (PERFORMANCE.md reset-pool note)."""
+        if self.y0_pool is not None:
+            if not hasattr(self, "_state_pool"):
+                self._state_pool = jax.vmap(self._reset1)(self.y0_pool)
+            idx = jax.random.randint(key, (n,), 0, self.y0_pool.shape[0])
+            return jax.tree.map(lambda x: x[idx], self._state_pool)
+        return jax.vmap(self._reset1)(self._fresh_y0s(key, n))
+
     # ------------------------------------------------------------------ init
     def init(self, key) -> BatchedTrainState:
         k_agent, k_envs, k_run = jax.random.split(key, 3)
-        env_states = jax.vmap(self._reset1)(self._fresh_y0s(k_envs, self.cfg.n_envs))
+        env_states = self._fresh_states(k_envs, self.cfg.n_envs)
         acfg = self.agent.cfg
         astate = self.agent.init_state(k_agent)
+        # round the capacity UP to a multiple of the per-step push width so
+        # pushes take the contiguous fast path (replay_push_flat); a
+        # slightly larger buffer is semantically benign
+        push = self.cfg.n_envs * acfg.n_actuators
+        capacity = ((acfg.capacity + push - 1) // push) * push
         return BatchedTrainState(
             agent=astate,
-            replay=replay_init(acfg.capacity, acfg.ns, acfg.na_rows),
+            replay=replay_init(capacity, acfg.ns, acfg.na_rows),
             env_states=env_states,
             key=k_run,
             total_env_steps=jnp.asarray(0, jnp.int32),
@@ -128,7 +146,8 @@ class BatchedTrainer:
         sn_cols = jnp.moveaxis(new_estates.obs, 0, 1).reshape(acfg.ns, B * n_act)
         r_flat = new_estates.reward.reshape(B * n_act)
         t_flat = jnp.repeat(new_estates.done.astype(jnp.float32), n_act)
-        replay = self._push_flat(ts.replay, s_cols, a_cols, r_flat, t_flat, sn_cols)
+        replay = replay_push_flat(ts.replay, s_cols.T, a_cols.T, r_flat, t_flat,
+                                  sn_cols.T)
 
         # learn
         if learn:
@@ -170,7 +189,7 @@ class BatchedTrainer:
         best_episode = jnp.where(is_better, ep_count, ts.best_episode)
 
         # auto-reset finished episodes with fresh initial conditions
-        fresh = jax.vmap(self._reset1)(self._fresh_y0s(k_reset, B))
+        fresh = self._fresh_states(k_reset, B)
 
         def pick(f, n):
             return jnp.where(done.reshape((B,) + (1,) * (n.ndim - 1)), f, n)
@@ -197,21 +216,6 @@ class BatchedTrainer:
                 best_actor=best_actor,
             ),
             records,
-        )
-
-    @staticmethod
-    def _push_flat(rb: Replay, s_cols, a_cols, r_flat, t_flat, sn_cols) -> Replay:
-        n = r_flat.shape[0]
-        capacity = rb.s.shape[0]
-        idx = (rb.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
-        return rb.replace(
-            s=rb.s.at[idx].set(s_cols.T),
-            a=rb.a.at[idx].set(a_cols.T),
-            r=rb.r.at[idx].set(r_flat),
-            t=rb.t.at[idx].set(t_flat),
-            sn=rb.sn.at[idx].set(sn_cols.T),
-            ptr=(rb.ptr + n) % capacity,
-            size=jnp.minimum(rb.size + n, capacity),
         )
 
     # ---------------------------------------------------------------- chunks

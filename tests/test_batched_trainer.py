@@ -56,10 +56,18 @@ def test_batched_trainer_reaches_stabilizing_policy():
     best-actor snapshot ships it."""
     import pytest
 
+    import dataclasses
+
     pytest.importorskip("jax")
+    from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
+
     setup = build_ks(KS22)
+    # batched push rates wrap the preset's single-env 150k buffer in ~600
+    # steps, destabilizing the critic (RESULTS.md); size it like the
+    # shipped artifact's recipe
+    agent = DDPGAgent(dataclasses.replace(setup.agent.cfg, capacity=1_000_000))
     trainer = BatchedTrainer(
-        setup.env, setup.agent,
+        setup.env, agent,
         BatchedTrainerConfig(n_envs=32, batch_size=256, update_loops=1),
         random_init=ks_random_init(KS22),
     )
