@@ -145,3 +145,40 @@ def test_negate_policy_modes():
     act_f = np.asarray(pol_f(obs))
     want = -np.asarray(obs).T.reshape(-1)[:4].reshape(4, 1).T
     assert np.allclose(act_f, want)
+
+
+def test_replay_push_flat_fast_path_matches_scatter_semantics():
+    """Contiguous dynamic-slice pushes (capacity % n == 0) must be
+    byte-identical in effect to the general scatter path, including wrap."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.agents.replay import (
+        replay_init,
+        replay_push_flat,
+    )
+
+    def fill(capacity, n, rounds):
+        rb = replay_init(capacity, 2, 1)
+        for k in range(rounds):
+            base = float(k)
+            s = jnp.full((n, 2), base)
+            a = jnp.full((n, 1), base + 0.1)
+            r = jnp.full((n,), base + 0.2)
+            t = jnp.zeros((n,))
+            sn = jnp.full((n, 2), base + 0.3)
+            rb = replay_push_flat(rb, s, a, r, t, sn)
+        return rb
+
+    # fast path: capacity 8, width 4, 5 pushes -> slots hold pushes 3,4
+    rb = fill(8, 4, 5)
+    assert int(rb.ptr) == 4 and int(rb.size) == 8
+    assert np.allclose(np.asarray(rb.r[:4]), 4.2)  # newest block wrapped to front
+    assert np.allclose(np.asarray(rb.r[4:]), 3.2)
+
+    # fallback path: capacity 10, width 3 (non-dividing) wraps mid-block
+    rb = fill(10, 3, 4)  # 12 entries into 10 slots
+    assert int(rb.ptr) == 2 and int(rb.size) == 10
+    r = np.asarray(rb.r)
+    assert np.allclose(r[0], 3.2) and np.allclose(r[1], 3.2)  # push 3 wrapped
+    assert np.allclose(r[9], 3.2)
+    assert np.allclose(r[2], 0.2)  # oldest surviving entry is push 0's tail
