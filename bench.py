@@ -49,10 +49,13 @@ def main():
         BatchedTrainerConfig,
     )
 
-    # throughput configuration: matmul_hi (3-pass bf16) DFTs — 2.6e-5
-    # rel/step vs HIGHEST, training-outcome parity verified, 1.29x faster
-    # (PERFORMANCE.md "precision tiers"); fidelity presets stay at HIGHEST
-    setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi"))
+    # throughput configuration (PERFORMANCE.md): matmul_hi DFTs (3-pass
+    # bf16, 2.6e-5 rel/step) + the ETDRK4 stepper (exact linear part, ONE
+    # step per env step at CNAB2@30-substep accuracy on attractor states;
+    # policies transfer across integrators — cross-eval verified). The
+    # fidelity presets keep the reference's CNAB2 at f32/HIGHEST.
+    setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi",
+                                         stepper="etdrk4"))
     trainer = BatchedTrainer(
         setup.env,
         setup.agent,

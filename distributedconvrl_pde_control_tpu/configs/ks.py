@@ -20,7 +20,7 @@ from distributedconvrl_pde_control_tpu.envs.features import (
     gaussian_kernels_1d,
 )
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
-from distributedconvrl_pde_control_tpu.ops.ks import KSSolver
+from distributedconvrl_pde_control_tpu.ops.ks import KSSolver, KSSolverETDRK4
 from distributedconvrl_pde_control_tpu.train.drivers import Setup
 
 
@@ -46,6 +46,11 @@ class KSConfig:
     # TPU; "matmul_hi" = 3-pass bf16, measured 2.6e-5 rel/step and 1.29x
     # throughput — the batched bench configuration, PERFORMANCE.md)
     fft_mode: str = "auto"
+    # integrator: "cnab2" = the reference's do_step (30 substeps,
+    # KSSetup.jl:130-160) — the fidelity default; "etdrk4" = exact linear
+    # part, ONE step per env step at equal accuracy on attractor states
+    # (ops/ks.py::KSSolverETDRK4; 7.5x fewer transforms, PERFORMANCE.md)
+    stepper: str = "cnab2"
     max_value: float = 30.0
     check_max_value: str = "y"
     # featurization
@@ -124,8 +129,12 @@ def ks_random_init(cfg: KSConfig):
 
 def build_ks(cfg: KSConfig = KS22) -> Setup:
     """Assemble the distributed-agent KS setup (KSSetup.jl:249-300)."""
-    solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling, mu=cfg.mu,
-                      fft_mode=cfg.fft_mode)
+    if cfg.stepper == "etdrk4":
+        solver = KSSolverETDRK4(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=1,
+                                mu=cfg.mu, fft_mode=cfg.fft_mode)
+    else:
+        solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling,
+                          mu=cfg.mu, fft_mode=cfg.fft_mode)
     sensors = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_sensors,
                                   norm_mode=1)
     actuators = gaussian_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.lx, cfg.sigma_actuators,

@@ -119,3 +119,107 @@ class KSSolver:
             substep, (ur0, ui0, nr0, ni0), None, length=self.oversampling
         )
         return fourier.irfft_ri(ur, ui, self.nx, mode=mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class KSSolverETDRK4:
+    """ETDRK4 stepper for the same KS equation — the TPU-first integrator
+    EXTENSION (not in the reference; its do_step is CNAB2 with 30 substeps,
+    KSSetup.jl:130-160).
+
+    Exponential time differencing treats the stiff linear operator
+    exp(h(k^2 - k^4)) EXACTLY, so the step size is limited only by the
+    advection nonlinearity: one h=dt step (4 nonlinear evaluations = 8
+    transforms) replaces CNAB2's 30 substeps (60 transforms) — 7.5x fewer
+    MXU transforms per env step at BETTER accuracy (validated against a
+    fine-step oracle in tests/test_ks_solver.py). phi-function weights are
+    computed host-side in float64 via the Kassam-Trefethen (2005) contour
+    integral, the standard cure for the cancellation in (e^z - 1)/z.
+
+    Drop-in `.step(y, forcing)` interface; fidelity presets keep CNAB2
+    (reference parity), throughput mode opts in via
+    KSConfig(stepper="etdrk4")."""
+
+    nx: int
+    lx: float
+    dt: float
+    oversampling: int = 1  # substeps per env step (1 suffices for KS22)
+    mu: float = 0.0
+    fft_mode: str = "auto"
+
+    e_full: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    e_half: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    q_w: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    f1_w: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    f2_w: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    f3_w: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    g_alpha: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    dist_re: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+    dist_im: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
+
+    def __post_init__(self):
+        from distributedconvrl_pde_control_tpu.ops.spectral import ks_rfft_operators
+
+        alpha, _, lin = ks_rfft_operators(self.nx, self.lx)
+        lin = np.asarray(lin, np.float64)
+        h = self.dt / self.oversampling
+        e_full = np.exp(h * lin)
+        e_half = np.exp(h * lin / 2.0)
+        # Kassam-Trefethen contour quadrature for the phi weights
+        m = 32
+        r = np.exp(1j * np.pi * (np.arange(1, m + 1) - 0.5) / m)
+        lr = h * lin[:, None] + r[None, :]
+        elr = np.exp(lr)
+        q = h * np.real(np.mean((np.exp(lr / 2.0) - 1.0) / lr, axis=1))
+        f1 = h * np.real(np.mean(
+            (-4.0 - lr + elr * (4.0 - 3.0 * lr + lr**2)) / lr**3, axis=1))
+        f2 = h * np.real(np.mean(
+            (2.0 + lr + elr * (-2.0 + lr)) / lr**3, axis=1))
+        f3 = h * np.real(np.mean(
+            (-4.0 - 3.0 * lr - lr**2 + elr * (4.0 - lr)) / lr**3, axis=1))
+        g_alpha = 0.5 * np.asarray(alpha, np.float64)
+        dx = self.lx / self.nx
+        x = np.arange(1, self.nx + 1) * dx
+        dist_hat = np.fft.rfft(self.mu * np.cos(2.0 + np.pi + x / (self.lx / 2.0)))
+        for name, arr in (("e_full", e_full), ("e_half", e_half), ("q_w", q),
+                          ("f1_w", f1), ("f2_w", f2), ("f3_w", f3),
+                          ("g_alpha", g_alpha),
+                          ("dist_re", dist_hat.real), ("dist_im", dist_hat.imag)):
+            object.__setattr__(self, name, jnp.asarray(arr, jnp.float32))
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, y: jnp.ndarray, forcing: jnp.ndarray) -> jnp.ndarray:
+        """One env step (= `oversampling` ETDRK4 steps). Forcing (+ the
+        mu-disturbance) is constant over the env step and enters the
+        nonlinear term additively, like the reference's CNAB2 treats it."""
+        mode = self.fft_mode
+        y = y.astype(jnp.float32)
+        vr, vi = fourier.rfft_ri(y, mode=mode)
+        fr, fi = fourier.rfft_ri(forcing.astype(jnp.float32), mode=mode)
+        fr = fr + self.dist_re
+        fi = fi + self.dist_im
+
+        def nonlin(zr, zi):
+            u = fourier.irfft_ri(zr, zi, self.nx, mode=mode)
+            sr, si = fourier.rfft_ri(u * u, mode=mode)
+            # G*s with G = -0.5 i alpha, plus the constant forcing
+            return self.g_alpha * si + fr, -self.g_alpha * sr + fi
+
+        def substep(carry, _):
+            vr, vi = carry
+            nvr, nvi = nonlin(vr, vi)
+            ar, ai = self.e_half * vr + self.q_w * nvr, self.e_half * vi + self.q_w * nvi
+            nar, nai = nonlin(ar, ai)
+            br, bi = self.e_half * vr + self.q_w * nar, self.e_half * vi + self.q_w * nai
+            nbr, nbi = nonlin(br, bi)
+            cr = self.e_half * ar + self.q_w * (2.0 * nbr - nvr)
+            ci = self.e_half * ai + self.q_w * (2.0 * nbi - nvi)
+            ncr, nci = nonlin(cr, ci)
+            vr = (self.e_full * vr + self.f1_w * nvr
+                  + 2.0 * self.f2_w * (nar + nbr) + self.f3_w * ncr)
+            vi = (self.e_full * vi + self.f1_w * nvi
+                  + 2.0 * self.f2_w * (nai + nbi) + self.f3_w * nci)
+            return (vr, vi), None
+
+        (vr, vi), _ = jax.lax.scan(substep, (vr, vi), None, length=self.oversampling)
+        return fourier.irfft_ri(vr, vi, self.nx, mode=mode)

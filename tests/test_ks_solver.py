@@ -81,3 +81,51 @@ def test_forcing_moves_the_field():
     assert 0.01 < float(jnp.abs(y1).max()) < 1.0
     y0 = solver.step(y, jnp.zeros(nx, jnp.float32))
     assert float(jnp.abs(y0).max()) < 1e-6
+
+
+def test_etdrk4_matches_cnab2_on_attractor():
+    """The ETDRK4 extension at ONE step per env step reproduces the
+    reference scheme's step on physical (attractor) states to the f32
+    floor — the accuracy basis for the 7.5x-fewer-transforms throughput
+    stepper (PERFORMANCE.md)."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.configs.ks import ks_standard_y0
+    from distributedconvrl_pde_control_tpu.ops.ks import KSSolver, KSSolverETDRK4
+
+    nx, lx, dt = 192, 22.0, 0.1
+    ref = KSSolver(nx=nx, lx=lx, dt=dt, oversampling=30, fft_mode="native")
+    y = jnp.asarray(ks_standard_y0(nx))[None]
+    f0 = jnp.zeros((1, nx), jnp.float32)
+    for _ in range(200):  # spin up onto the attractor with the reference stepper
+        y = ref.step(y, f0)
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(0.2 * rng.standard_normal((1, nx)), jnp.float32)
+
+    oracle = KSSolver(nx=nx, lx=lx, dt=dt, oversampling=600,
+                      fft_mode="native").step(y, f)
+    etd = KSSolverETDRK4(nx=nx, lx=lx, dt=dt, oversampling=1,
+                         fft_mode="native").step(y, f)
+    cnab = ref.step(y, f)
+    scale = float(jnp.abs(oracle).max())
+    err_etd = float(jnp.abs(etd - oracle).max()) / scale
+    err_cnab = float(jnp.abs(cnab - oracle).max()) / scale
+    assert err_etd < 5e-4, err_etd
+    assert err_etd < 2.0 * err_cnab, (err_etd, err_cnab)
+
+
+def test_etdrk4_with_disturbance_matches_cnab2():
+    """mu*cos disturbance parity between the steppers (KSSetup.jl:155)."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.ops.ks import KSSolver, KSSolverETDRK4
+
+    nx, lx, dt, mu = 64, 22.0, 0.05, 0.02
+    y = jnp.zeros((1, nx), jnp.float32)
+    f = jnp.zeros((1, nx), jnp.float32)
+    a = KSSolver(nx=nx, lx=lx, dt=dt, oversampling=60, mu=mu,
+                 fft_mode="native").step(y, f)
+    b = KSSolverETDRK4(nx=nx, lx=lx, dt=dt, oversampling=2, mu=mu,
+                       fft_mode="native").step(y, f)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4), \
+        np.abs(np.asarray(a) - np.asarray(b)).max()
