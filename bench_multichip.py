@@ -69,9 +69,12 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
     assert len(devices) == dp * sp, f"need {dp * sp} devices"
     mesh = Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
 
-    # dt such that floor(16*nx*dt) == oversampling (FluidSetup.jl:47)
+    # dt such that floor(16*nx*dt) == oversampling (FluidSetup.jl:47).
+    # adaptive=False pins the FIXED-step RK4 path: the bench measures the
+    # deterministic-substep program (the trainer now honors the preset's
+    # stepper, so the default FLUID_8 would otherwise run do_step2).
     dt = (oversampling + 0.5) / (16.0 * nx)
-    cfg = dataclasses.replace(FLUID_8, nx=nx, dt=dt, te=1000.0 * dt)
+    cfg = dataclasses.replace(FLUID_8, nx=nx, dt=dt, te=1000.0 * dt, adaptive=False)
     assert cfg.oversampling == oversampling
     tcfg = ShardedTrainConfig(n_envs=n_envs, batch_size=batch_size,
                               capacity_per_dp=50_000, y0_pool_size=2,

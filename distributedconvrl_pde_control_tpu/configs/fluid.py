@@ -48,6 +48,18 @@ class FluidConfig:
     fft_mode: str = "auto"
     adaptive: bool = False  # do_step2 semantics: adaptive RK4, tol 1e0
     adaptive_tol: float = 1.0  # FluidSetup.jl:179
+    # fixed-step scheme when adaptive=False: "rk4" = the reference's do_step
+    # (FluidSetup.jl:163-172, oversampling = 16*nx*dt substeps); "ifrk4" =
+    # the integrating-factor fast tier (NSSolver.step_real_if) at
+    # `fast_oversampling` substeps — validated against a fine-step oracle at
+    # the accuracy the reference's own installed tol-1e0 stepper accepts
+    # (PERFORMANCE.md accuracy ladder)
+    stepper: str = "rk4"
+    # substeps for the ifrk4 tier; None = oversampling/4 (a 4x-relaxed CFL
+    # safety factor: measured stable through the saturated-action regime
+    # |u|max ~ 2.8 at 128^2 — where the ~1.4x-margin os=8 tier NaNs — and
+    # scales with nx*dt like the reference's heuristic)
+    fast_oversampling: int | None = None
     # env (FluidSetup.jl:44-57)
     te: float = 6.0
     t0: float = 0.0
@@ -107,6 +119,12 @@ class FluidConfig:
     def oversampling(self) -> int:
         # oversampling = floor(16 * nx * dt) (FluidSetup.jl:47)
         return int(np.floor(16 * self.grid_nx * self.dt))
+
+    @property
+    def fast_oversampling_eff(self) -> int:
+        if self.fast_oversampling is not None:
+            return self.fast_oversampling
+        return max(1, int(np.ceil(self.oversampling / 4)))
 
     @property
     def positions(self):
@@ -253,6 +271,9 @@ def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
                                None, cfg.dt, rtol=cfg.adaptive_tol, atol=cfg.adaptive_tol,
                                max_steps=256)
             return _fourier.ifft2_ri_real(out[0], out[1], mode=solver.fft_mode)
+    elif cfg.stepper == "ifrk4":
+        def step_fn(y, forcing):
+            return solver.step_real_if(y, forcing, cfg.dt, cfg.fast_oversampling_eff)
     else:
         def step_fn(y, forcing):
             return solver.step_real(y, forcing, cfg.dt, cfg.oversampling)

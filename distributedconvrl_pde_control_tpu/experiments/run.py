@@ -37,6 +37,12 @@ def build_setup(name: str):
             __import__("dataclasses").replace(
                 C.FLUID_8, name="Fluid_8_fixedstep", adaptive=False)
         ),
+        # throughput tier: integrating-factor RK4 at oversampling/4 substeps
+        # (validated-equal-accuracy fast stepper, PERFORMANCE.md ladder)
+        "Fluid_8_fast": lambda: C.build_fluid(
+            __import__("dataclasses").replace(
+                C.FLUID_8, name="Fluid_8_fast", adaptive=False, stepper="ifrk4")
+        ),
         "Fluid_8_eval": lambda: C.build_fluid(
             __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
         ),
@@ -65,6 +71,8 @@ def fluid_config_for(name: str):
         "Fluid_16": C.FLUID_16,
         "Fluid_32": C.FLUID_32,
         "Fluid_8_256": C.FLUID_8_256,
+        "Fluid_8_fast": dataclasses.replace(
+            C.FLUID_8, name="Fluid_8_fast", adaptive=False, stepper="ifrk4"),
         "Fluid_8_eval": dataclasses.replace(C.FLUID_8, evaluation=True),
         "Fluid_16_eval": dataclasses.replace(C.FLUID_16, evaluation=True),
         "Fluid_32_eval": dataclasses.replace(C.FLUID_32, evaluation=True),

@@ -128,13 +128,13 @@ class ShardedFluidTrainer:
     """Builds the sharded arrays and the jitted SPMD programs for a fluid
     experiment preset.
 
-    Stepper note: the sharded solver always runs the FIXED-step oversampled
-    RK4 (`FluidConfig.oversampling`), even when the preset sets
-    `adaptive=True` — a data-dependent `lax.while_loop` step count would
-    diverge across sp shards unless the acceptance test pmax'd its error
-    norm over the mesh every iteration, serializing the collectives; the
-    fixed-step path at the preset's oversampling is the reference's own
-    do_step (FluidSetup.jl:163-172) and resolves the same physics."""
+    Stepper dispatch (round-2 ROADMAP gap #2, closed): the trainer honors
+    the preset's stepper — `adaptive=True` runs the sharded do_step2
+    (`NSShardedSolverRI.step_real_adaptive`, acceptance error pmax'd over sp
+    so the while_loop trip count stays uniform across the mesh),
+    `stepper="ifrk4"` runs the integrating-factor fast tier, and the default
+    is the reference's fixed-step do_step (FluidSetup.jl:163-172) at the
+    preset's oversampling."""
 
     def __init__(self, cfg: FluidConfig, mesh: Mesh,
                  tcfg: ShardedTrainConfig = ShardedTrainConfig()):
@@ -191,6 +191,20 @@ class ShardedFluidTrainer:
         self._acfg = acfg
 
     # -------------------------------------------------------------- helpers
+    def _solver_step(self, w_local, f_local, ops):
+        """Preset-honoring stepper dispatch on local shards (see class
+        docstring)."""
+        cfg = self.cfg
+        if cfg.adaptive:
+            return self.solver.step_real_adaptive(
+                w_local, f_local, ops, cfg.dt,
+                rtol=cfg.adaptive_tol, atol=cfg.adaptive_tol)
+        if cfg.stepper == "ifrk4":
+            return self.solver.step_real_if(w_local, f_local, ops, cfg.dt,
+                                            cfg.fast_oversampling_eff)
+        return self.solver.step_real(w_local, f_local, ops, cfg.dt,
+                                     cfg.oversampling)
+
     def _sensor_dots(self, w_local, sens_local):
         """Per-env raw sensor inner products <omega, g_i> with psum over sp.
 
@@ -302,8 +316,8 @@ class ShardedFluidTrainer:
         # (prepare_action, FluidSetup.jl:247-261; row 0 = the physical action)
         f_real = cfg.agent_power * jnp.einsum("bn,nyx->byx", actions[:, 0, :], akern)
 
-        # ---- solver (split-component transpose-FFT RK4)
-        w_new = self.solver.step_real(state.w, f_real, ops, cfg.dt, cfg.oversampling)
+        # ---- solver (split-component transpose-FFT, preset's stepper)
+        w_new = self._solver_step(state.w, f_real, ops)
 
         # ---- sensors, obs, reward
         dots = self._sensor_dots(w_new, sens)  # (Bl, n_act) raw
@@ -479,8 +493,7 @@ class ShardedFluidTrainer:
                 delta = actions - est.action
                 f_real = cfg.agent_power * jnp.einsum(
                     "bn,nyx->byx", actions[:, 0, :], akern)
-                w_new = self.solver.step_real(est.w, f_real, ops, cfg.dt,
-                                              cfg.oversampling)
+                w_new = self._solver_step(est.w, f_real, ops)
                 dots = self._sensor_dots(w_new, sens)
                 obs_new = self._featurize(dots, est.obs, actions)
                 reward = self._reward(dots, actions, delta)

@@ -160,3 +160,103 @@ class NSShardedSolverRI:
 
         (wr, wi), _ = jax.lax.scan(sub, (wr, wi), None, length=oversampling)
         return difft2_ri_real(wr, wi, self.sp_axis, self.fft_mode)
+
+    def step_real_if(self, omg_local, forcing_local, ops: ShardedOps, dt,
+                     oversampling: int):
+        """IF-RK4 fast tier on local shards (the sharded twin of
+        `ops.navier_stokes.NSSolver.step_real_if`): the viscous diagonal is
+        integrated exactly by elementwise exp factors — which shard over sp
+        like every other operator array — so the substep count is set by the
+        advective CFL limit alone, not the reference's 16*nx*dt heuristic
+        (FluidSetup.jl:47). Accuracy ladder: PERFORMANCE.md."""
+        import jax
+
+        from distributedconvrl_pde_control_tpu.parallel.dfft import (
+            dfft2_ri,
+            difft2_ri_real,
+        )
+
+        dt_os = dt / oversampling
+        e_half = jnp.exp(-self.nu * ops.k2 * (dt_os / 2.0))
+        e_full = e_half * e_half
+        wr, wi = dfft2_ri(omg_local, None, self.sp_axis, self.fft_mode)
+        fr, fi = dfft2_ri(forcing_local, None, self.sp_axis, self.fft_mode)
+
+        def n_of(zr, zi):
+            ar, ai = self._advection_ri(zr, zi, ops)
+            return ar + fr, ai + fi
+
+        def sub(c, _):
+            wr, wi = c
+            k1r, k1i = n_of(wr, wi)
+            ar_, ai_ = e_half * (wr + 0.5 * dt_os * k1r), e_half * (wi + 0.5 * dt_os * k1i)
+            k2r, k2i = n_of(ar_, ai_)
+            br_, bi_ = e_half * wr + 0.5 * dt_os * k2r, e_half * wi + 0.5 * dt_os * k2i
+            k3r, k3i = n_of(br_, bi_)
+            cr_, ci_ = e_full * wr + dt_os * e_half * k3r, e_full * wi + dt_os * e_half * k3i
+            k4r, k4i = n_of(cr_, ci_)
+            wr = e_full * wr + dt_os / 6.0 * (e_full * k1r + 2.0 * e_half * (k2r + k3r) + k4r)
+            wi = e_full * wi + dt_os / 6.0 * (e_full * k1i + 2.0 * e_half * (k2i + k3i) + k4i)
+            return (wr, wi), None
+
+        (wr, wi), _ = jax.lax.scan(sub, (wr, wi), None, length=oversampling)
+        return difft2_ri_real(wr, wi, self.sp_axis, self.fft_mode)
+
+    def step_real_adaptive(self, omg_local, forcing_local, ops: ShardedOps, dt,
+                           rtol: float = 1.0, atol: float = 1.0,
+                           max_steps: int = 256):
+        """Sharded do_step2: step-doubling adaptive RK4 (the semantics of
+        `ops.integrators.rk4_adaptive` = FluidSetup.jl:181-186) on local
+        shards. The acceptance test's error norm is `pmax`'d over sp every
+        iteration so the `while_loop` trip count — and therefore the
+        collective schedule inside the advection transforms — stays uniform
+        across the mesh; (t, h) are then replicated by construction. One
+        extra scalar collective per trial step, against ~36 transform
+        all_to_alls: noise. Closes the round-2 ROADMAP gap #2 (the sharded
+        trainer previously forced fixed-step even for adaptive presets)."""
+        import jax
+
+        from distributedconvrl_pde_control_tpu.parallel.dfft import (
+            dfft2_ri,
+            difft2_ri_real,
+        )
+
+        wr, wi = dfft2_ri(omg_local, None, self.sp_axis, self.fft_mode)
+        fr, fi = dfft2_ri(forcing_local, None, self.sp_axis, self.fft_mode)
+        w = jnp.stack([wr, wi])
+
+        def rhs(z):
+            rr, ri_ = self._rhs_ri(z[0], z[1], fr, fi, ops)
+            return jnp.stack([rr, ri_])
+
+        def rk4(y, h):
+            k1 = rhs(y)
+            k2 = rhs(y + 0.5 * h * k1)
+            k3 = rhs(y + 0.5 * h * k2)
+            k4 = rhs(y + h * k3)
+            return y + h / 6.0 * (k1 + 2.0 * (k2 + k3) + k4)
+
+        def cond(state):
+            t, _, h, n = state
+            return jnp.logical_and(t < dt * (1 - 1e-12), n < max_steps)
+
+        def body(state):
+            t, y, h, n = state
+            h = jnp.minimum(h, dt - t)
+            y_full = rk4(y, h)
+            y_half = rk4(y, h / 2.0)
+            y_two = rk4(y_half, h / 2.0)
+            err_local = jnp.max(jnp.abs(y_two - y_full) / (atol + rtol * jnp.abs(y_two)))
+            err = jax.lax.pmax(err_local, self.sp_axis)
+            err = jnp.maximum(err, 1e-12)
+            accept = err <= 15.0  # RK4 step-doubling factor (2^4 - 1)
+            y_new = jnp.where(accept, y_two + (y_two - y_full) / 15.0, y)
+            t_new = jnp.where(accept, t + h, t)
+            h_new = h * jnp.clip(0.9 * (15.0 / err) ** 0.2, 0.2, 5.0)
+            return (t_new, y_new, h_new, n + 1)
+
+        _, w, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0.0, jnp.float32), w, jnp.asarray(dt / 16.0, jnp.float32), 0),
+        )
+        return difft2_ri_real(w[0], w[1], self.sp_axis, self.fft_mode)

@@ -85,6 +85,71 @@ def test_omg2vel_divergence_free():
     assert np.abs(np.fft.ifft2(div).real).max() < 1e-3
 
 
+def test_ifrk4_taylor_green_viscous_decay_exact_at_one_substep():
+    """The integrating factor treats the viscous diagonal EXACTLY: for
+    Taylor-Green (advection vanishes identically) one IF-RK4 substep per env
+    step reproduces the analytic decay to float precision, at a nu*k^2*dt
+    where plain RK4 at the same substep count is visibly wrong."""
+    nx = ny = 64
+    nu = 5e-3  # 100x the fluid preset: nu*2k^2*dt = 0.79 per step
+    solver = NSSolver(nx=nx, ny=ny, nu=nu, dealias=True)
+    xx, yy = meshgrid_xy(nx, ny, 1.0, 1.0)
+    k = 2 * np.pi
+    omg0 = 2.0 * np.cos(k * xx) * np.cos(k * yy)
+    w = jnp.asarray(np.fft.fft2(omg0), jnp.complex64)
+    zero_f = jnp.zeros_like(w)
+    dt, steps = 0.02, 10
+    w_if = w
+    for _ in range(steps):
+        w_if = solver.step_if(w_if, zero_f, dt, 1)
+    got = np.fft.ifft2(np.asarray(w_if)).real
+    want = omg0 * np.exp(-nu * 2 * k**2 * dt * steps)
+    assert np.abs(got - want).max() < 1e-5, np.abs(got - want).max()
+
+
+def test_step_real_if_matches_complex_if_path():
+    """Split-(re,im) IF-RK4 must match the complex IF-RK4 reference path."""
+    rng = np.random.default_rng(3)
+    w0 = initial_condition(2, 32, 32, 1.0, 1.0, rng)
+    omg = np.fft.ifft2(w0).real.astype(np.float32)
+    f_real = 0.3 * np.cos(2 * np.pi * np.arange(32) / 32)[None, :] * np.ones((32, 1))
+    f_hat = jnp.asarray(np.fft.fft2(f_real), jnp.complex64)
+    for dealias in (True, False):
+        s = NSSolver(nx=32, ny=32, nu=5e-4, dealias=dealias, fft_mode="native")
+        want = np.fft.ifft2(np.asarray(
+            s.step_if(jnp.asarray(w0, jnp.complex64), f_hat, 0.01, 4)
+        )).real
+        got = np.asarray(
+            s.step_real_if(jnp.asarray(omg), jnp.asarray(f_real, jnp.float32), 0.01, 4)
+        )
+        assert np.allclose(got, want, atol=2e-4), (dealias, np.abs(got - want).max())
+
+
+def test_ifrk4_fast_tier_matches_fine_oracle_on_vortex_field():
+    """The fast tier's accuracy claim (PERFORMANCE.md ladder): from a random-
+    vortex field with actuation-scale forcing, IF-RK4 at the preset's
+    fast_oversampling matches a fine-substep RK4 oracle at least as tightly
+    as the reference's installed adaptive tol-1e0 stepper does."""
+    n = 64
+    rng = np.random.default_rng(5)
+    solver = NSSolver(nx=n, ny=n, nu=5e-5, dealias=True)
+    omg = jnp.asarray(np.fft.ifft2(initial_condition(3, n, n, 1.0, 1.0, rng)).real,
+                      jnp.float32)
+    zero = jnp.zeros((n, n), jnp.float32)
+    # short spin-up onto the nonlinear attractor
+    for _ in range(10):
+        omg = solver.step_real(omg, zero, 0.02, 20)
+    f = jnp.asarray(
+        5.0 * np.cos(2 * np.pi * np.arange(n) / n)[None, :] * np.ones((n, 1)),
+        jnp.float32)
+    oracle = np.asarray(solver.step_real(omg, f, 0.02, 200))
+    scale = np.abs(oracle).max()
+    err_if8 = np.abs(np.asarray(solver.step_real_if(omg, f, 0.02, 8)) - oracle).max() / scale
+    err_rk40 = np.abs(np.asarray(solver.step_real(omg, f, 0.02, 40)) - oracle).max() / scale
+    assert err_if8 < 1e-3, err_if8  # the adaptive tol-1e0 error scale (PERFORMANCE.md)
+    assert err_rk40 < 1e-4  # sanity: the 40-substep path is tighter still
+
+
 def test_step_real_half_spectrum_matches_complex_path():
     """The production real path (half-spectrum ri arithmetic) must match the
     complex reference path, dealiased and plain."""

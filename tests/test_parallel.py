@@ -321,6 +321,113 @@ def test_sharded_ri_matches_single_chip_real_path():
     assert np.allclose(got, want, atol=5e-3), np.abs(got - want).max()
 
 
+def test_sharded_ifrk4_matches_single_chip_masked_oracle():
+    """NSShardedSolverRI.step_real_if on 4 shards == a NumPy IF-RK4 oracle
+    on the same 2/3-mask scheme (viscous exp factors exact)."""
+    from distributedconvrl_pde_control_tpu.ops.navier_stokes import initial_condition
+    from distributedconvrl_pde_control_tpu.parallel.ns_sharded import NSShardedSolverRI
+
+    mesh = sp_mesh(4)
+    nx = ny = 32
+    nu, dt, oversampling = 5e-4, 0.01, 4
+    ops = make_sharded_ops(nx, ny)
+    solver = NSShardedSolverRI(nu=nu, sp_axis="sp")
+
+    rng = np.random.default_rng(7)
+    omg = np.fft.ifft2(initial_condition(2, nx, ny, 1.0, 1.0, rng)).real.astype(np.float32)
+    zero = np.zeros_like(omg)
+
+    step = shard_map(
+        lambda wb, fb, ob: solver.step_real_if(wb, fb, ob, dt, oversampling),
+        mesh=mesh,
+        in_specs=(P("sp", None), P("sp", None), jax.tree.map(lambda _: P(None, "sp"), ops)),
+        out_specs=P("sp", None),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(step)(jnp.asarray(omg), jnp.asarray(zero), ops))
+
+    def adv(wh):
+        psih = wh * np.asarray(ops.inv_k2)
+        u = np.fft.ifft2(1j * np.asarray(ops.ky) * psih).real
+        v = np.fft.ifft2(-1j * np.asarray(ops.kx) * psih).real
+        dwdx = np.fft.ifft2(1j * np.asarray(ops.kx) * wh).real
+        dwdy = np.fft.ifft2(1j * np.asarray(ops.ky) * wh).real
+        return np.fft.fft2(-u * dwdx - v * dwdy) * np.asarray(ops.mask23)
+
+    w = np.fft.fft2(omg)
+    h = dt / oversampling
+    e_half = np.exp(-nu * np.asarray(ops.k2) * (h / 2.0))
+    e_full = e_half * e_half
+    for _ in range(oversampling):
+        k1 = adv(w)
+        a = e_half * (w + 0.5 * h * k1)
+        k2 = adv(a)
+        b = e_half * w + 0.5 * h * k2
+        k3 = adv(b)
+        c = e_full * w + h * e_half * k3
+        k4 = adv(c)
+        w = e_full * w + h / 6.0 * (e_full * k1 + 2.0 * e_half * (k2 + k3) + k4)
+    want = np.fft.ifft2(w).real
+    assert np.allclose(got, want, atol=5e-3), np.abs(got - want).max()
+
+
+def test_sharded_adaptive_matches_fine_fixed_step():
+    """NSShardedSolverRI.step_real_adaptive (pmax'd acceptance norm) at a
+    tight tolerance converges to the same state as the sharded fixed-step
+    solver at fine substeps — validates the uniform-trip-count while_loop
+    machinery across shards."""
+    from distributedconvrl_pde_control_tpu.ops.navier_stokes import initial_condition
+    from distributedconvrl_pde_control_tpu.parallel.ns_sharded import NSShardedSolverRI
+
+    mesh = sp_mesh(4)
+    nx = ny = 32
+    nu, dt = 5e-4, 0.01
+    ops = make_sharded_ops(nx, ny)
+    solver = NSShardedSolverRI(nu=nu, sp_axis="sp")
+
+    rng = np.random.default_rng(9)
+    omg = np.fft.ifft2(initial_condition(2, nx, ny, 1.0, 1.0, rng)).real.astype(np.float32)
+    zero = np.zeros_like(omg)
+    specs = (P("sp", None), P("sp", None), jax.tree.map(lambda _: P(None, "sp"), ops))
+
+    adap = shard_map(
+        lambda wb, fb, ob: solver.step_real_adaptive(wb, fb, ob, dt,
+                                                     rtol=1e-6, atol=1e-6),
+        mesh=mesh, in_specs=specs, out_specs=P("sp", None), check_vma=False,
+    )
+    fixed = shard_map(
+        lambda wb, fb, ob: solver.step_real(wb, fb, ob, dt, 32),
+        mesh=mesh, in_specs=specs, out_specs=P("sp", None), check_vma=False,
+    )
+    got = np.asarray(jax.jit(adap)(jnp.asarray(omg), jnp.asarray(zero), ops))
+    want = np.asarray(jax.jit(fixed)(jnp.asarray(omg), jnp.asarray(zero), ops))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_multichip_stepper_dispatch():
+    """The trainer honors the preset's stepper: adaptive -> sharded do_step2,
+    stepper='ifrk4' -> IF-RK4 tier, default -> fixed-step RK4. One step of
+    each must run and stay finite (the adaptive default is already covered
+    by every _tiny_fluid_cfg test; this pins the other two + the dispatch)."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    tcfg = ShardedTrainConfig(n_envs=4, batch_size=8, capacity_per_dp=1024,
+                              y0_pool_size=2)
+    for over in (dict(adaptive=False),
+                 dict(adaptive=False, stepper="ifrk4", fast_oversampling=2)):
+        cfg = _tiny_fluid_cfg(**over)
+        tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+        state = tr.init(jax.random.PRNGKey(0))
+        s1, _ = tr.make_chunk_fn(1)(state)
+        assert np.isfinite(float(s1.mean_reward)), over
+
+
 @pytest.mark.slow
 def test_multichip_compiles_at_production_grid():
     """One DP x SP step of the FLUID_8_256 preset (dt widened so the
