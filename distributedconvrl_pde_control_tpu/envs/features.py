@@ -284,11 +284,15 @@ class TwoFieldFeaturizer:
         base = 2 * per_field + (self.action_rows if self.sees_action else 0)
         return base * self.temporal_steps + self.memory_size
 
-    def __call__(self, y, prev_obs=None, action=None):
+    def from_dots(self, dots, prev_obs=None, action=None):
+        """Featurize from precomputed raw per-field sensor dots <y_f, rect_i>
+        of shape (2, n_sensors). Split out so spatially sharded solvers can
+        compute the dots as partial matmuls + psum over the mesh
+        (parallel.multichip_keller_segel) and reuse the window/temporal/
+        memory logic verbatim."""
         blocks = []
         for f in range(2):
-            sensors = (self.sensor_matrix @ y[f]) * self.scale
-            w = _window_stack_1d(sensors, self.window_size)
+            w = _window_stack_1d(dots[f] * self.scale, self.window_size)
             blocks.append(w[:, self.actuators_to_sensors])
         base = jnp.concatenate(blocks, axis=0)
         if self.sees_action:
@@ -301,6 +305,10 @@ class TwoFieldFeaturizer:
         return _temporal_and_memory(
             base, prev_obs, action, self.temporal_steps, self.memory_size, self.n_actuators
         )
+
+    def __call__(self, y, prev_obs=None, action=None):
+        dots = jnp.stack([self.sensor_matrix @ y[0], self.sensor_matrix @ y[1]])
+        return self.from_dots(dots, prev_obs, action)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,6 +71,8 @@ def fluid_config_for(name: str):
         "Fluid_16": C.FLUID_16,
         "Fluid_32": C.FLUID_32,
         "Fluid_8_256": C.FLUID_8_256,
+        "Fluid_8_256_fast": dataclasses.replace(
+            C.FLUID_8_256, name="Fluid_8_256_fast", stepper="ifrk4"),
         "Fluid_8_fast": dataclasses.replace(
             C.FLUID_8, name="Fluid_8_fast", adaptive=False, stepper="ifrk4"),
         "Fluid_8_eval": dataclasses.replace(C.FLUID_8, evaluation=True),
@@ -97,8 +99,16 @@ def run_sharded(args) -> None:
     )
 
     cfg = fluid_config_for(args.preset)
+    is_ks = cfg is None and args.preset == "KellerSegel10_16"
+    if is_ks:
+        from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+            KELLER_SEGEL_10_16,
+        )
+
+        cfg = KELLER_SEGEL_10_16
     if cfg is None:
-        raise SystemExit(f"--mesh supports fluid presets only, not {args.preset}")
+        raise SystemExit(
+            f"--mesh supports fluid presets and KellerSegel10_16, not {args.preset}")
     import dataclasses
 
     if args.nx:
@@ -122,7 +132,14 @@ def run_sharded(args) -> None:
         capacity_per_dp=args.capacity_per_dp or 100_000,
         chunk_len=args.chunk_len or 25,
     )
-    trainer = ShardedFluidTrainer(cfg, mesh, tcfg)
+    if is_ks:
+        from distributedconvrl_pde_control_tpu.parallel.multichip_keller_segel import (
+            ShardedKellerSegelTrainer,
+        )
+
+        trainer = ShardedKellerSegelTrainer(cfg, mesh, tcfg)
+    else:
+        trainer = ShardedFluidTrainer(cfg, mesh, tcfg)
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -148,7 +165,8 @@ def run_sharded(args) -> None:
         save_sharded(out_dir, trainer, state, hook)
         print(hook.ascii_curve())
         print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} "
-              f"@ ep {hook.bestepisode} (mesh {dp}x{sp}, grid {cfg.grid_nx}^2)")
+              f"@ ep {hook.bestepisode} (mesh {dp}x{sp}, "
+              f"grid {getattr(cfg, 'grid_nx', cfg.nx)})")
         return
 
     # --eval: sharded testrun — trained policy vs no-action, masked energies
@@ -164,7 +182,8 @@ def run_sharded(args) -> None:
         e = np.asarray(recs["energy"])
         m = np.asarray(recs["active"])
         energies[label] = float(e[m].mean()) if m.any() else float("nan")
-    print(json.dumps({"mesh": f"{dp}x{sp}", "grid": cfg.grid_nx, **energies}))
+    print(json.dumps({"mesh": f"{dp}x{sp}",
+                      "grid": getattr(cfg, "grid_nx", cfg.nx), **energies}))
 
 
 def main(argv=None):

@@ -169,8 +169,9 @@ class ShardedFluidTrainer:
         self.max_steps = int(math.ceil((cfg.te - cfg.t0) / cfg.dt - 1e-9))
 
         acfg = self.agent.cfg
+        self._w_spec = P("dp", "sp", None)  # y-pencil: rows sharded over sp
         self._state_specs = MCState(
-            w=P("dp", "sp", None),  # y-pencil: rows sharded over sp
+            w=self._w_spec,
             obs=P("dp"),
             action=P("dp"),
             steps=P("dp"),
@@ -204,6 +205,26 @@ class ShardedFluidTrainer:
                                             cfg.fast_oversampling_eff)
         return self.solver.step_real(w_local, f_local, ops, cfg.dt,
                                      cfg.oversampling)
+
+    def _forcing(self, actions, akern_local):
+        """(Bl, na_rows, n_act) actions -> local real-space forcing block
+        (prepare_action, FluidSetup.jl:247-261)."""
+        return self.cfg.agent_power * jnp.einsum(
+            "bn,nyx->byx", actions[:, 0, :], akern_local)
+
+    def _eval_metric(self, w_local):
+        """Per-env eval diagnostic: fluid energy sum|omega|/(nx*ny)
+        (testrun, FluidSetup.jl:497-500)."""
+        bl = w_local.shape[0]
+        return jax.lax.psum(
+            jnp.sum(jnp.abs(w_local.reshape(bl, -1)), axis=-1), "sp"
+        ) / (self.n * self.n)
+
+    def _sensor_dots_host(self, w0: np.ndarray) -> jnp.ndarray:
+        """Host-side (unsharded) raw sensor dots for init-time observations."""
+        return jnp.asarray(
+            w0.reshape(w0.shape[0], -1)
+            @ np.asarray(self.sensor_kernels).reshape(self.n_act, -1).T)
 
     def _sensor_dots(self, w_local, sens_local):
         """Per-env raw sensor inner products <omega, g_i> with psum over sp.
@@ -268,9 +289,7 @@ class ShardedFluidTrainer:
             lambda x: jnp.broadcast_to(x[None], (self.n_dp,) + x.shape), replay1
         )
         # initial observations from the initial fields (host-side one-off)
-        dots0 = w0.reshape(tcfg.n_envs, -1) @ np.asarray(self.sensor_kernels).reshape(
-            self.n_act, -1).T
-        obs0 = np.asarray(self._featurize_reset(jnp.asarray(dots0)))
+        obs0 = np.asarray(self._featurize_reset(self._sensor_dots_host(w0)))
         state = MCState(
             w=jnp.asarray(w0),
             obs=jnp.asarray(obs0, jnp.float32),
@@ -312,9 +331,9 @@ class ShardedFluidTrainer:
         actions = jnp.moveaxis(actions_flat.reshape(acfg.na_rows, bl, n_act), 1, 0)
         delta = actions - state.action
 
-        # ---- forcing: real-space smear on the local y-pencil rows
+        # ---- forcing: real-space smear on the local kernel slices
         # (prepare_action, FluidSetup.jl:247-261; row 0 = the physical action)
-        f_real = cfg.agent_power * jnp.einsum("bn,nyx->byx", actions[:, 0, :], akern)
+        f_real = self._forcing(actions, akern)
 
         # ---- solver (split-component transpose-FFT, preset's stepper)
         w_new = self._solver_step(state.w, f_real, ops)
@@ -470,7 +489,6 @@ class ShardedFluidTrainer:
         cfg = self.cfg
         agent, acfg = self.agent, self._acfg
         n_act = self.n_act
-        npts = self.n * self.n
 
         def local_eval(actor, w0_local, ops, sens, akern):
             bl = w0_local.shape[0]
@@ -491,8 +509,7 @@ class ShardedFluidTrainer:
                 actions = jnp.where(step_idx < t_action_steps,
                                     jnp.zeros_like(actions), actions)
                 delta = actions - est.action
-                f_real = cfg.agent_power * jnp.einsum(
-                    "bn,nyx->byx", actions[:, 0, :], akern)
+                f_real = self._forcing(actions, akern)
                 w_new = self._solver_step(est.w, f_real, ops)
                 dots = self._sensor_dots(w_new, sens)
                 obs_new = self._featurize(dots, est.obs, actions)
@@ -511,8 +528,7 @@ class ShardedFluidTrainer:
                 keep = jnp.logical_and(active, jnp.logical_not(blowup))
                 keepc = keep.reshape(bl, 1, 1)
                 w_out = jnp.where(keepc, w_new, est.w)
-                energy = jax.lax.psum(
-                    jnp.sum(jnp.abs(w_out.reshape(bl, -1)), axis=-1), "sp") / npts
+                energy = self._eval_metric(w_out)
                 est = EvalState(
                     w=w_out,
                     obs=jnp.where(keepc, obs_new, est.obs),
@@ -535,7 +551,7 @@ class ShardedFluidTrainer:
         sharded = shard_map(
             local_eval,
             mesh=self.mesh,
-            in_specs=(P(), P("dp", "sp", None), self._ops_spec,
+            in_specs=(P(), self._w_spec, self._ops_spec,
                       self._kern_spec, self._kern_spec),
             out_specs=rec_specs,
             check_vma=False,
@@ -559,7 +575,7 @@ class ShardedFluidTrainer:
         ).real.astype(np.float32)
         w0 = np.broadcast_to(y0, (n_envs,) + y0.shape)
         return jax.device_put(jnp.asarray(w0),
-                              NamedSharding(self.mesh, P("dp", "sp", None)))
+                              NamedSharding(self.mesh, self._w_spec))
 
 
 # ------------------------------------------------------------------ drivers

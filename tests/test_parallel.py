@@ -454,6 +454,68 @@ def test_multichip_compiles_at_production_grid():
     assert np.isfinite(float(s1.mean_reward))
 
 
+def test_multichip_keller_segel_trainer():
+    """One chunk of the preset-driven sharded Keller-Segel trainer on a
+    2x4 mesh: finite rewards, correct replay accounting, replicated params
+    after dp-pmean learning, and a sharded eval rollout."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16,
+    )
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedTrainConfig,
+    )
+    from distributedconvrl_pde_control_tpu.parallel.multichip_keller_segel import (
+        ShardedKellerSegelTrainer,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    cfg = dataclasses.replace(KELLER_SEGEL_10_16, te=0.06, oversampling=5)
+    tcfg = ShardedTrainConfig(n_envs=4, batch_size=8, capacity_per_dp=1024,
+                              y0_pool_size=2)
+    tr = ShardedKellerSegelTrainer(cfg, mesh, tcfg)
+    state = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_chunk_fn(2)
+    s1, recs = step(state)
+    assert np.isfinite(float(s1.mean_reward))
+    n_act = tr.n_act
+    assert int(np.asarray(s1.replay.size)[0]) == 2 * (tcfg.n_envs // 2) * n_act
+    w_actor = s1.agent.actor[0]["w"]
+    shards = [np.asarray(s.data) for s in w_actor.addressable_shards]
+    for s in shards[1:]:
+        assert np.array_equal(s, shards[0])
+    # sharded eval: mean |u-1| of a perturbed init must be positive + finite
+    ev = tr.make_eval_fn(3)(s1.agent.actor, tr.eval_w0())
+    en = np.asarray(ev["energy"])
+    assert en.shape == (3, tcfg.n_envs) and np.isfinite(en).all() and (en > 0).all()
+
+
+def test_two_field_from_dots_matches_call():
+    """TwoFieldFeaturizer.from_dots (the sharded path) == __call__ on the
+    full field, including temporal stacking across two steps."""
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16,
+        build_keller_segel,
+    )
+
+    setup = build_keller_segel(KELLER_SEGEL_10_16)
+    feat = setup.env.featurize
+    rng = np.random.default_rng(0)
+    y1 = jnp.asarray(1.0 + 0.1 * rng.standard_normal((2, 100)), jnp.float32)
+    y2 = jnp.asarray(1.0 + 0.1 * rng.standard_normal((2, 100)), jnp.float32)
+    a = jnp.asarray(rng.uniform(-1, 1, (1, feat.n_actuators)), jnp.float32)
+
+    obs1 = feat(y1)
+    dots1 = jnp.stack([feat.sensor_matrix @ y1[0], feat.sensor_matrix @ y1[1]])
+    np.testing.assert_allclose(np.asarray(feat.from_dots(dots1)),
+                               np.asarray(obs1), rtol=1e-6)
+    obs2 = feat(y2, obs1, a)
+    dots2 = jnp.stack([feat.sensor_matrix @ y2[0], feat.sensor_matrix @ y2[1]])
+    np.testing.assert_allclose(np.asarray(feat.from_dots(dots2, obs1, a)),
+                               np.asarray(obs2), rtol=1e-6)
+
+
 def test_sharded_keller_segel_matches_single_chip():
     from distributedconvrl_pde_control_tpu.ops.keller_segel import KellerSegelSolver
     from distributedconvrl_pde_control_tpu.parallel.keller_segel_sharded import (
