@@ -20,6 +20,7 @@ from distributedconvrl_pde_control_tpu.configs.keller_segel import (
     KellerSegelConfig,
     build_keller_segel,
     KELLER_SEGEL_10_16,
+    KELLER_SEGEL_10_16_FAST,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "KS22_GLOBAL", "build_ks_global",
     "FluidConfig", "build_fluid", "FLUID_8", "FLUID_16", "FLUID_32", "FLUID_8_256",
     "KellerSegelConfig", "build_keller_segel", "KELLER_SEGEL_10_16",
+    "KELLER_SEGEL_10_16_FAST",
 ]

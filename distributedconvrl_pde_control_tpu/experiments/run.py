@@ -53,6 +53,10 @@ def build_setup(name: str):
             __import__("dataclasses").replace(C.FLUID_32, evaluation=True)
         ),
         "KellerSegel10_16": lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16),
+        # throughput tier: 10 solver substeps (validated at the f32 accuracy
+        # floor of the 50-substep reference budget; configs.keller_segel)
+        "KellerSegel10_16_fast": lambda: C.build_keller_segel(
+            C.KELLER_SEGEL_10_16_FAST),
     }
     if name not in builders:
         raise SystemExit(f"unknown preset {name}; choose from {sorted(builders)}")

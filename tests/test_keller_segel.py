@@ -61,3 +61,53 @@ def test_chemotactic_instability_grows_then_finite():
     arr = np.asarray(y)
     assert np.isfinite(arr).all()
     assert arr[0].std() > 1e-4  # structure formed
+
+
+def test_fast_oversampling_matches_fine_oracle():
+    """The KellerSegel10_16_fast tier (10 substeps): from a spun-up forced
+    state, one env step at 10 substeps matches a 500-substep oracle at the
+    same ~2e-5 f32 floor as the reference's 50-substep budget — the
+    measured basis for the 5x-cheaper preset (configs.keller_segel)."""
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16 as cfg,
+    )
+    from distributedconvrl_pde_control_tpu.envs.features import rectangle_kernels_1d
+
+    solver = KellerSegelSolver(nx=cfg.nx, lx=cfg.lx)
+    sens = rectangle_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.half_window)
+    amat = sens[cfg.actuators_to_sensors].astype(np.float32)
+    rng = np.random.default_rng(0)
+    y = np.ones((2, cfg.nx), np.float32)
+    y[1] *= 1.01
+    y = jnp.asarray(y + 0.1 * rng.standard_normal((2, cfg.nx)).astype(np.float32))
+    for _ in range(50):
+        a = rng.uniform(-1, 1, amat.shape[0]).astype(np.float32)
+        y = solver.step(y, jnp.asarray(cfg.agent_power * (a @ amat)), cfg.dt, 50)
+    a = np.sign(rng.uniform(-1, 1, amat.shape[0])).astype(np.float32)
+    f = jnp.asarray(cfg.agent_power * (a @ amat))
+    oracle = np.asarray(solver.step(y, f, cfg.dt, 500))
+    scale = np.abs(oracle).max()
+    err10 = np.abs(np.asarray(solver.step(y, f, cfg.dt, 10)) - oracle).max() / scale
+    err50 = np.abs(np.asarray(solver.step(y, f, cfg.dt, 50)) - oracle).max() / scale
+    assert err10 < 1e-4, err10
+    assert err10 < 3.0 * max(err50, 1e-6)  # same floor as the reference budget
+
+
+def test_fast_oversampling_stable_under_saturated_actions():
+    """Worst-case exploration regime (every actuator pinned to +-1 each
+    step): the 10-substep tier stays finite over a half-episode horizon."""
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16_FAST as cfg,
+    )
+    from distributedconvrl_pde_control_tpu.envs.features import rectangle_kernels_1d
+
+    solver = KellerSegelSolver(nx=cfg.nx, lx=cfg.lx)
+    sens = rectangle_kernels_1d(cfg.sensor_positions, cfg.nx, cfg.half_window)
+    amat = sens[cfg.actuators_to_sensors].astype(np.float32)
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(np.ones((2, cfg.nx), np.float32))
+    for _ in range(600):
+        a = np.sign(rng.uniform(-1, 1, amat.shape[0])).astype(np.float32)
+        y = solver.step(y, jnp.asarray(cfg.agent_power * (a @ amat)), cfg.dt,
+                        cfg.oversampling)
+    assert bool(jnp.isfinite(y).all())
