@@ -508,7 +508,8 @@ def main(argv=None):
     policy = actor_policy(setup.agent, actor)
     y0 = None
     if args.random_init and setup.random_init is not None:
-        y0 = setup.random_init(jax.random.PRNGKey(setup.seed))
+        y0 = setup.random_init(jax.random.PRNGKey(
+            args.seed if args.seed is not None else setup.seed))
     traces = rollout(setup.env, policy, y0=y0, te=args.p_te, t_action=args.p_t_action)
 
     is_fluid = args.preset.startswith("Fluid")
