@@ -72,13 +72,20 @@ def main():
     ts, recs = chunk_fn(ts)
     jax.block_until_ready(recs["mean_reward"])
 
+    # Pipelined steady-state measurement: queue TIMED_ROUNDS chunks
+    # back-to-back and synchronize once, exactly how train_batched executes
+    # (it defers record reads by one chunk so host accounting overlaps
+    # device compute). Synchronizing after EVERY chunk instead serializes
+    # the ~20 ms axon-tunnel RPC with the compute and understates the
+    # training rate by ~33% (PERFORMANCE.md round 3).
     best_rate = 0.0
-    for _ in range(TIMED_ROUNDS):
+    for _ in range(3):
         t0 = time.perf_counter()
-        ts, recs = chunk_fn(ts)
+        for _ in range(TIMED_ROUNDS):
+            ts, recs = chunk_fn(ts)
         jax.block_until_ready(recs["mean_reward"])
         dt = time.perf_counter() - t0
-        best_rate = max(best_rate, CHUNK * N_ENVS / dt)
+        best_rate = max(best_rate, TIMED_ROUNDS * CHUNK * N_ENVS / dt)
 
     print(json.dumps({
         "metric": "env steps/sec (batched KS rollout+train)",

@@ -1,0 +1,75 @@
+"""Decompose the bench.py headline config: where does step time go?"""
+import dataclasses
+import os
+import time
+
+import jax
+jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.getcwd(), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from distributedconvrl_pde_control_tpu.configs import KS22, build_ks
+from distributedconvrl_pde_control_tpu.train.batched import (
+    BatchedTrainer, BatchedTrainerConfig)
+
+N = 16384
+setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi", stepper="etdrk4"))
+
+
+def timed(label, trainer, learn, chunks=5, chunk_len=50):
+    ts = trainer.init(jax.random.PRNGKey(1))
+    chunk = trainer.make_chunk_fn(chunk_len, learn=learn)
+    ts, _ = chunk(ts)
+    jax.block_until_ready(ts.total_env_steps)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        ts, _ = chunk(ts)
+    jax.block_until_ready(ts.total_env_steps)
+    rate = chunks * chunk_len * N / (time.perf_counter() - t0)
+    print(f"{label}: {rate/1e6:7.2f}M env steps/s", flush=True)
+    return rate
+
+
+from distributedconvrl_pde_control_tpu.configs.ks import ks_random_init
+
+trainer = BatchedTrainer(setup.env, setup.agent,
+                         BatchedTrainerConfig(n_envs=N, batch_size=4096,
+                                              update_loops=1),
+                         random_init=ks_random_init(KS22))
+full = timed("full (rollout+push+learn)", trainer, learn=True)
+nolearn = timed("rollout+push (learn=False)", trainer, learn=False)
+
+# solver+policy only: time a bare scan of env steps with a fixed actor
+import numpy as np
+from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
+
+env, agent = setup.env, setup.agent
+astate = agent.init_state(jax.random.PRNGKey(0))
+acfg = agent.cfg
+ks = [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(N)]
+est = jax.vmap(lambda k: env.reset_random(k) if hasattr(env, "reset_random") else env.reset())(
+    jnp.stack(ks)) if False else jax.vmap(lambda _: env.reset())(jnp.arange(N))
+
+def body(c, _):
+    est, key = c
+    key, k_act = jax.random.split(key)
+    obs_flat = jnp.moveaxis(est.obs, 0, 1).reshape(acfg.ns, N * acfg.n_actuators)
+    a_flat = agent.act(astate, obs_flat, k_act, learning=True)
+    actions = jnp.moveaxis(a_flat.reshape(acfg.na_rows, N, acfg.n_actuators), 1, 0)
+    est = jax.vmap(env.step)(est, actions)
+    return (est, key), None
+
+@jax.jit
+def roll(est, key):
+    (est, key), _ = jax.lax.scan(body, (est, key), None, length=50)
+    return est, key
+
+est, key = roll(est, jax.random.PRNGKey(3))
+jax.block_until_ready(est.time)
+t0 = time.perf_counter()
+for _ in range(5):
+    est, key = roll(est, key)
+jax.block_until_ready(est.time)
+rate = 5 * 50 * N / (time.perf_counter() - t0)
+print(f"solver+policy only        : {rate/1e6:7.2f}M env steps/s", flush=True)

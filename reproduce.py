@@ -62,6 +62,22 @@ def main():
     print(json.dumps({"row": "KS200 -> mu=0.02 disturbed",
                       **suppression(sdist, actor200, 200.0, 100.0)}))
 
+    # --- Keller-Segel regulation (fast-tier artifact, RESULTS.md multi-seed
+    # table; |u-1| deviation from an unseen random init, seed 8)
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+
+    ks_setup, ks_actor = load_actor(
+        lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16_FAST),
+        "artifacts/KellerSegel10_16_fast")
+    y0 = ks_setup.random_init(jax.random.PRNGKey(8))
+    traces = rollout(ks_setup.env, actor_policy(ks_setup.agent, ks_actor),
+                     y0=y0, te=12.0, t_action=4.0)
+    dev = np.abs(np.asarray(traces["y"])[:, 0] - 1.0)
+    a0 = int(round(4.0 / ks_setup.env.dt))
+    print(json.dumps({"row": "KellerSegel10_16_fast regulation",
+                      "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
+                      "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
+
     if not args.full:
         print("(run with --full for the fluid energy comparisons)")
         return
