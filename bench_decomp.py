@@ -73,3 +73,22 @@ for _ in range(5):
 jax.block_until_ready(est.time)
 rate = 5 * 50 * N / (time.perf_counter() - t0)
 print(f"solver+policy only        : {rate/1e6:7.2f}M env steps/s", flush=True)
+
+# --- isolate the reset-generation and replay-push costs (monkeypatch tiers)
+import distributedconvrl_pde_control_tpu.train.batched as B
+
+# (a) constant reset states: auto-reset still selects (where) but the fresh
+# states are a broadcast jit constant instead of per-step regeneration
+st0 = jax.vmap(trainer._reset1)(trainer._fresh_y0s(jax.random.PRNGKey(9), 8))
+const_states = jax.tree.map(
+    lambda x: jnp.broadcast_to(x[:1], (N,) + x.shape[1:]), st0)
+orig_fresh = BatchedTrainer._fresh_states
+BatchedTrainer._fresh_states = lambda self, key, n: const_states
+timed("no reset regeneration   ", trainer, learn=True)
+BatchedTrainer._fresh_states = orig_fresh
+
+# (b) replay push skipped entirely (learn off so sampling never sees it)
+orig_push = B.replay_push_flat
+B.replay_push_flat = lambda buf, *a, **k: buf
+timed("no replay push (nolearn)", trainer, learn=False)
+B.replay_push_flat = orig_push

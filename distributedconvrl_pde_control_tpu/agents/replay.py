@@ -16,8 +16,19 @@ effective transition set:
   * the reference samples logical indices 1..len-n_actuators, i.e. it
     excludes the newest `n_actuators` rows — kept via `exclude_newest`.
 
-Everything is a fixed-shape pytree so pushes (dynamic scatter) and samples
-(gather) run inside jitted scans with zero host traffic.
+Everything is a fixed-shape pytree so pushes and samples run inside jitted
+scans with zero host traffic.
+
+LAYOUT (TPU-deliberate): state/action arrays are stored TRANSPOSED —
+`(dim, capacity)`, slot = minor axis — not `(capacity, dim)`. TPU physical
+tiles are (8 sublanes, 128 lanes) on the two minor dims, so a `(capacity, 3)`
+array would pad its 3-wide minor axis to 128 lanes and every push would move
+~43x more HBM bytes than the logical data. With slots on the minor axis the
+physical layout equals the logical one, pushes are contiguous lane-aligned
+writes, and the column matrices the learner consumes ((dim, batch), actuator
+= column, as everywhere else in this rebuild) come out of sampling without a
+transpose. Measured: 14% of the whole fused train step at 16k envs
+(PERFORMANCE.md replay-layout note).
 """
 
 from __future__ import annotations
@@ -29,59 +40,57 @@ from flax import struct
 
 @struct.dataclass
 class Replay:
-    s: jnp.ndarray  # (capacity, ns)
-    a: jnp.ndarray  # (capacity, na)
+    s: jnp.ndarray  # (ns, capacity)
+    a: jnp.ndarray  # (na, capacity)
     r: jnp.ndarray  # (capacity,)
     t: jnp.ndarray  # (capacity,) f32 0/1
-    sn: jnp.ndarray  # (capacity, ns)
+    sn: jnp.ndarray  # (ns, capacity)
     ptr: jnp.ndarray  # int32 next write slot
     size: jnp.ndarray  # int32 valid entries
 
 
 def replay_init(capacity: int, ns: int, na: int) -> Replay:
     return Replay(
-        s=jnp.zeros((capacity, ns), jnp.float32),
-        a=jnp.zeros((capacity, na), jnp.float32),
+        s=jnp.zeros((ns, capacity), jnp.float32),
+        a=jnp.zeros((na, capacity), jnp.float32),
         r=jnp.zeros((capacity,), jnp.float32),
         t=jnp.zeros((capacity,), jnp.float32),
-        sn=jnp.zeros((capacity, ns), jnp.float32),
+        sn=jnp.zeros((ns, capacity), jnp.float32),
         ptr=jnp.asarray(0, jnp.int32),
         size=jnp.asarray(0, jnp.int32),
     )
 
 
-def replay_push_flat(rb: Replay, s_rows, a_rows, r_vec, t_vec, sn_rows) -> Replay:
-    """Push `n` transitions given as ROW blocks (n, dim).
+def replay_push_flat(rb: Replay, s_cols, a_cols, r_vec, t_vec, sn_cols) -> Replay:
+    """Push `n` transitions given as COLUMN blocks (dim, n).
 
     When the capacity divides evenly by the (static) push width — true for
     every shipped preset, whose pushes are always `n_actuators` (or
     n_envs*n_actuators) wide — the write is a CONTIGUOUS
-    `dynamic_update_slice`: the pointer only ever visits multiples of n, so
-    blocks never wrap, and XLA lowers the update in place. Measured at 16k
-    envs (131k-row pushes) this is 2.1x faster per train step than the
-    general scatter, which falls back only for non-dividing widths
-    (PERFORMANCE.md replay-push note).
+    `dynamic_update_slice` along the slot axis: the pointer only ever visits
+    multiples of n, so blocks never wrap, and XLA lowers the update in
+    place. The general scatter falls back only for non-dividing widths.
     """
     n = r_vec.shape[0]
-    capacity = rb.s.shape[0]
+    capacity = rb.s.shape[1]
     if capacity % n == 0:
         up = jax.lax.dynamic_update_slice_in_dim
         return rb.replace(
-            s=up(rb.s, s_rows, rb.ptr, 0),
-            a=up(rb.a, a_rows, rb.ptr, 0),
+            s=up(rb.s, s_cols, rb.ptr, 1),
+            a=up(rb.a, a_cols, rb.ptr, 1),
             r=up(rb.r, r_vec, rb.ptr, 0),
             t=up(rb.t, t_vec, rb.ptr, 0),
-            sn=up(rb.sn, sn_rows, rb.ptr, 0),
+            sn=up(rb.sn, sn_cols, rb.ptr, 1),
             ptr=(rb.ptr + n) % capacity,
             size=jnp.minimum(rb.size + n, capacity),
         )
     idx = (rb.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
     return rb.replace(
-        s=rb.s.at[idx].set(s_rows),
-        a=rb.a.at[idx].set(a_rows),
+        s=rb.s.at[:, idx].set(s_cols),
+        a=rb.a.at[:, idx].set(a_cols),
         r=rb.r.at[idx].set(r_vec),
         t=rb.t.at[idx].set(t_vec),
-        sn=rb.sn.at[idx].set(sn_rows),
+        sn=rb.sn.at[:, idx].set(sn_cols),
         ptr=(rb.ptr + n) % capacity,
         size=jnp.minimum(rb.size + n, capacity),
     )
@@ -96,7 +105,7 @@ def replay_push_columns(rb: Replay, s_cols, a_cols, r_vec, terminal, sn_cols) ->
     """
     n = r_vec.shape[0]
     t_vec = jnp.full((n,), terminal, jnp.float32)
-    return replay_push_flat(rb, s_cols.T, a_cols.T, r_vec, t_vec, sn_cols.T)
+    return replay_push_flat(rb, s_cols, a_cols, r_vec, t_vec, sn_cols)
 
 
 def replay_sample(rb: Replay, key, batch_size: int, exclude_newest: int):
@@ -107,15 +116,15 @@ def replay_sample(rb: Replay, key, batch_size: int, exclude_newest: int):
     distribution as `pde_sample`'s `rand(1:length(t)-number_actuators)`
     (PDEagent.jl:317-321).
     """
-    capacity = rb.s.shape[0]
+    capacity = rb.s.shape[1]
     n_valid = jnp.maximum(rb.size - exclude_newest, 1)
     offs = jax.random.randint(key, (batch_size,), 0, n_valid)
     start = jnp.where(rb.size >= capacity, rb.ptr, 0)
     idx = (start + offs) % capacity
     return (
-        rb.s[idx].T,  # (ns, B)
-        rb.a[idx].T,  # (na, B)
+        rb.s[:, idx],  # (ns, B)
+        rb.a[:, idx],  # (na, B)
         rb.r[idx],  # (B,)
         rb.t[idx],  # (B,)
-        rb.sn[idx].T,  # (ns, B)
+        rb.sn[:, idx],  # (ns, B)
     )

@@ -363,12 +363,12 @@ class ShardedFluidTrainer:
         # width (ShardedTrainConfig rounds it up, so it always does)
         rb = jax.tree.map(_local, state.replay)
         n_push = bl * n_act
-        capacity = rb.s.shape[0]
+        capacity = rb.s.shape[1]
         t_flat = jnp.repeat(done.astype(jnp.float32), n_act)
         safe_r = jnp.where(jnp.isfinite(reward), reward, -cfg.max_value)
         rb = replay_push_flat(
-            rb, obs_flat.T, actions_flat.T, safe_r.reshape(-1), t_flat,
-            jnp.moveaxis(obs_new, 0, 1).reshape(acfg.ns, -1).T,
+            rb, obs_flat, actions_flat, safe_r.reshape(-1), t_flat,
+            jnp.moveaxis(obs_new, 0, 1).reshape(acfg.ns, -1),
         )
 
         # ---- learning: local sample, dp-pmean'd gradients. The gate depends

@@ -37,6 +37,13 @@ class BatchedTrainState:
     agent: object  # DDPGState
     replay: Replay
     env_states: object  # vmapped EnvState (leading axis n_envs)
+    # flat (ns, n_envs*n_act) view of env_states.obs, carried across steps so
+    # each step flattens the freshly produced obs ONCE (policy forward, the
+    # replay's s column block, and the previous step's sn all share it). The
+    # (B, ns, n_act) -> (ns, B*n_act) relayout reads the obs array's padded
+    # TPU tiles (minor dims ns/n_act pad to 8/128 lanes), so doing it twice
+    # per step measurably costs ~10% of the fused train step at 16k envs.
+    obs_flat: jnp.ndarray
     key: jnp.ndarray
     total_env_steps: jnp.ndarray  # int32
     # observability (PDEhook semantics, tracked on device so the fused scan
@@ -107,10 +114,13 @@ class BatchedTrainer:
         # slightly larger buffer is semantically benign
         push = self.cfg.n_envs * acfg.n_actuators
         capacity = ((acfg.capacity + push - 1) // push) * push
+        obs_flat = jnp.moveaxis(env_states.obs, 0, 1).reshape(
+            acfg.ns, self.cfg.n_envs * acfg.n_actuators)
         return BatchedTrainState(
             agent=astate,
             replay=replay_init(capacity, acfg.ns, acfg.na_rows),
             env_states=env_states,
+            obs_flat=obs_flat,
             key=k_run,
             total_env_steps=jnp.asarray(0, jnp.int32),
             ep_reward=jnp.zeros((self.cfg.n_envs,), jnp.float32),
@@ -130,9 +140,9 @@ class BatchedTrainer:
         B = cfg.n_envs
         n_act = acfg.n_actuators
 
-        # policy forward over ALL actuator columns of ALL envs at once:
-        # (B, ns, n_act) -> (ns, B*n_act)
-        obs_flat = jnp.moveaxis(estates.obs, 0, 1).reshape(acfg.ns, B * n_act)
+        # policy forward over ALL actuator columns of ALL envs at once,
+        # using the carried (ns, B*n_act) flat view (one relayout per step)
+        obs_flat = ts.obs_flat
         astate = ts.agent.replace(update_step=ts.agent.update_step + 1)
         actions_flat = agent.act(astate, obs_flat, k_act, learning=True)
         actions = jnp.moveaxis(actions_flat.reshape(acfg.na_rows, B, n_act), 1, 0)
@@ -140,14 +150,29 @@ class BatchedTrainer:
         # env step (vmapped)
         new_estates = jax.vmap(self._step1)(estates, actions)
 
-        # push B*n_act transitions
-        s_cols = obs_flat
-        a_cols = actions_flat
-        sn_cols = jnp.moveaxis(new_estates.obs, 0, 1).reshape(acfg.ns, B * n_act)
+        # auto-reset finished episodes with fresh initial conditions FIRST:
+        # the post-reset flat obs doubles as this step's replay `sn` (below)
+        # and the next step's policy input/`s`
+        done = new_estates.done
+        fresh = self._fresh_states(k_reset, B)
+
+        def pick(f, n):
+            return jnp.where(done.reshape((B,) + (1,) * (n.ndim - 1)), f, n)
+
+        estates = jax.tree.map(pick, fresh, new_estates)
+        new_obs_flat = jnp.moveaxis(estates.obs, 0, 1).reshape(acfg.ns, B * n_act)
+
+        # push B*n_act transitions. `sn` is the POST-reset observation: for
+        # non-terminal rows it equals the post-step observation, and for
+        # terminal rows (t=1) the learner's bootstrap term is masked by
+        # (1 - t) so the stored `sn` is never read — semantically identical
+        # to pushing the pre-reset obs, at one (B, ns, n_act) relayout per
+        # step instead of two (the relayout reads the padded TPU tiles of
+        # the obs array and costs ~10% of the fused step at 16k envs).
         r_flat = new_estates.reward.reshape(B * n_act)
-        t_flat = jnp.repeat(new_estates.done.astype(jnp.float32), n_act)
-        replay = replay_push_flat(ts.replay, s_cols.T, a_cols.T, r_flat, t_flat,
-                                  sn_cols.T)
+        t_flat = jnp.repeat(done.astype(jnp.float32), n_act)
+        replay = replay_push_flat(ts.replay, obs_flat, actions_flat, r_flat,
+                                  t_flat, new_obs_flat)
 
         # learn
         if learn:
@@ -173,7 +198,6 @@ class BatchedTrainer:
         # episode accounting + on-device best-actor tracking (PDEhook
         # semantics: best COMPLETED episode past min_best_episode snapshots
         # the actor as of that episode's end, PDEhook.jl:65-76)
-        done = new_estates.done
         completed = jnp.logical_and(
             done, new_estates.time >= env.te * (1.0 - 1e-6))
         step_mean_r = jnp.mean(new_estates.reward, axis=-1)  # (B,)
@@ -188,14 +212,6 @@ class BatchedTrainer:
         best_reward = jnp.where(is_better, cand_max, ts.best_reward)
         best_episode = jnp.where(is_better, ep_count, ts.best_episode)
 
-        # auto-reset finished episodes with fresh initial conditions
-        fresh = self._fresh_states(k_reset, B)
-
-        def pick(f, n):
-            return jnp.where(done.reshape((B,) + (1,) * (n.ndim - 1)), f, n)
-
-        estates = jax.tree.map(pick, fresh, new_estates)
-
         records = {
             "finished": done,
             "completed": completed,
@@ -207,6 +223,7 @@ class BatchedTrainer:
                 agent=astate,
                 replay=replay,
                 env_states=estates,
+                obs_flat=new_obs_flat,
                 key=key,
                 total_env_steps=ts.total_env_steps + B,
                 ep_reward=jnp.where(done, 0.0, ep_r),

@@ -126,6 +126,14 @@ def load(dirpath: str, ts_template: TrainState, number: Optional[int] = None):
     if os.path.exists(agent_path):
         with open(agent_path, "rb") as f:
             ts = serialization.from_bytes(ts_template, f.read())
+        # Older full checkpoints stored replay state/action arrays row-major
+        # (capacity, dim); the buffer is (dim, capacity) since the TPU
+        # layout change (agents/replay.py LAYOUT note). Transpose on load.
+        tmpl_rb = ts_template.replay
+        rb = ts.replay
+        if rb.s.ndim == 2 and rb.s.shape != tmpl_rb.s.shape \
+                and rb.s.shape == tmpl_rb.s.shape[::-1]:
+            ts = ts.replace(replay=rb.replace(s=rb.s.T, a=rb.a.T, sn=rb.sn.T))
     else:
         template = {"agent": ts_template.agent, "key": ts_template.key}
         with open(light_path, "rb") as f:

@@ -31,8 +31,8 @@ def test_replay_push_and_next_state_semantics():
     assert int(rb.size) == 12
     # stored next-state equals what the reference's idx+n_actuators slot
     # arithmetic dereferences: s of the following step
-    assert np.allclose(np.asarray(rb.s[4]), 1.0)  # step-1 state
-    assert np.allclose(np.asarray(rb.sn[4]), 2.0)  # step-2 state
+    assert np.allclose(np.asarray(rb.s[:, 4]), 1.0)  # step-1 state
+    assert np.allclose(np.asarray(rb.sn[:, 4]), 2.0)  # step-2 state
     assert np.asarray(rb.t)[:8].sum() == 0 and np.asarray(rb.t)[8:12].sum() == 4
 
 
@@ -161,11 +161,11 @@ def test_replay_push_flat_fast_path_matches_scatter_semantics():
         rb = replay_init(capacity, 2, 1)
         for k in range(rounds):
             base = float(k)
-            s = jnp.full((n, 2), base)
-            a = jnp.full((n, 1), base + 0.1)
+            s = jnp.full((2, n), base)
+            a = jnp.full((1, n), base + 0.1)
             r = jnp.full((n,), base + 0.2)
             t = jnp.zeros((n,))
-            sn = jnp.full((n, 2), base + 0.3)
+            sn = jnp.full((2, n), base + 0.3)
             rb = replay_push_flat(rb, s, a, r, t, sn)
         return rb
 
