@@ -122,13 +122,18 @@ def replay_sample(rb: Replay, key, batch_size: int, exclude_newest: int):
     start = jnp.where(rb.size >= capacity, rb.ptr, 0)
     idx = (start + offs) % capacity
 
-    if capacity % 128 == 0:
-        # TPU fast path: a gather along the minor (lane) axis lowers to a
-        # slow per-element walk; instead gather whole 128-lane BLOCKS (a
-        # cheap row gather after reshaping slots to (capacity/128, 128))
-        # and reduce out the wanted lane with a one-hot mask. Identical
-        # index distribution and values; measured ~12% of the whole fused
-        # train step at 16k envs on the lane-gather path (PERFORMANCE.md).
+    if capacity % 128 == 0 and rb.s.shape[0] == 1 and rb.a.shape[0] == 1:
+        # TPU fast path for SKINNY buffers (1-row state/action columns, e.g.
+        # the KS family's scalar per-actuator observations): a gather along
+        # the minor (lane) axis lowers to a slow per-element walk; instead
+        # gather whole 128-lane BLOCKS (a cheap row gather after the
+        # minor-only reshape of slots to (capacity/128, 128)) and reduce
+        # out the wanted lane with a one-hot mask. Identical index
+        # distribution and values; measured 1.23x on the whole fused train
+        # step at 16k envs (PERFORMANCE.md). For multi-row buffers the
+        # block gather LOSES (the (dim, nblk, 128) gather relayouts per
+        # sample — measured 1.4-2x the whole step on the 12-row
+        # Keller-Segel buffers), so those stay on the plain gather below.
         blk = idx // 128
         onehot = jax.nn.one_hot(idx % 128, 128, dtype=rb.r.dtype)  # (B, 128)
         nblk = capacity // 128
@@ -137,12 +142,8 @@ def replay_sample(rb: Replay, key, batch_size: int, exclude_newest: int):
             rows = x.reshape(nblk, 128)[blk]
             return jnp.einsum("bl,bl->b", rows, onehot)
 
-        def g2(x):  # (dim, capacity) -> (dim, B)
-            d = x.shape[0]
-            flat = x.reshape(d * nblk, 128)
-            rix = jnp.arange(d, dtype=blk.dtype)[:, None] * nblk + blk[None, :]
-            rows = flat[rix]  # (d, B, 128)
-            return jnp.einsum("dbl,bl->db", rows, onehot)
+        def g2(x):  # (1, capacity) -> (1, B)
+            return g1(x.reshape(capacity))[None, :]
 
         return (g2(rb.s), g2(rb.a), g1(rb.r), g1(rb.t), g2(rb.sn))
 
