@@ -12,6 +12,7 @@ from distributedconvrl_pde_control_tpu.configs.ks import (
     KS200,
     KS500,
     KS200_DISTURBED,
+    KS22_64,
     KS22_GLOBAL,
     build_ks_global,
 )
@@ -24,7 +25,7 @@ from distributedconvrl_pde_control_tpu.configs.keller_segel import (
 )
 
 __all__ = [
-    "KSConfig", "build_ks", "KS22", "KS200", "KS500", "KS200_DISTURBED",
+    "KSConfig", "build_ks", "KS22", "KS200", "KS500", "KS200_DISTURBED", "KS22_64",
     "KS22_GLOBAL", "build_ks_global",
     "FluidConfig", "build_fluid", "FLUID_8", "FLUID_16", "FLUID_32", "FLUID_8_256",
     "KellerSegelConfig", "build_keller_segel", "KELLER_SEGEL_10_16",

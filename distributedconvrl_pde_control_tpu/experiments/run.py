@@ -25,6 +25,7 @@ def build_setup(name: str):
         "KS200": lambda: C.build_ks(C.KS200),
         "KS500": lambda: C.build_ks(C.KS500),
         "KS200_disturbed": lambda: C.build_ks(C.KS200_DISTURBED),
+        "KS22_64": lambda: C.build_ks(C.KS22_64),
         "KS22_global": lambda: C.build_ks_global(C.KS22_GLOBAL),
         "Fluid_8": lambda: C.build_fluid(C.FLUID_8),
         "Fluid_16": lambda: C.build_fluid(C.FLUID_16),

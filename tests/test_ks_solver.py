@@ -129,3 +129,51 @@ def test_etdrk4_with_disturbance_matches_cnab2():
                        fft_mode="native").step(y, f)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4), \
         np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_coarse_grid_sensor_convergence():
+    """KS22_64 tier (configs/ks.py): the reference's nx=192 for Lx=22 is
+    ~4x over-resolved — on the coarse grid, the SENSOR OBSERVATIONS (the
+    only thing the policy/reward see, physical-width sum/max-normalized
+    Gaussians per KSSetup.jl:82-113) after forced env steps from a
+    spectrally restricted attractor state must match the 192-grid
+    reference to near the f32 floor."""
+    import jax
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.configs.ks import KS22, ks_random_init
+    from distributedconvrl_pde_control_tpu.envs.features import gaussian_kernels_1d
+    from distributedconvrl_pde_control_tpu.ops.ks import KSSolver, KSSolverETDRK4
+
+    cfg = KS22
+    sol192 = KSSolver(nx=192, lx=cfg.lx, dt=cfg.dt, oversampling=30,
+                      fft_mode="native")
+    y = jnp.asarray(ks_random_init(cfg)(jax.random.PRNGKey(0)))
+    zero = jnp.zeros(192)
+    for _ in range(120):  # spin onto the attractor
+        y = sol192.step(y, zero)
+    y192 = np.asarray(y)
+
+    h = np.fft.rfft(y192)[: 64 // 2 + 1]
+    h[-1] = h[-1].real
+    y64 = np.fft.irfft(h * (64 / 192), 64)
+
+    sens_c = gaussian_kernels_1d(np.arange(1, 65, 8), 64, cfg.lx, 0.7, 1)
+    sens_r = gaussian_kernels_1d(np.arange(1, 193, 24), 192, cfg.lx, 0.7, 1)
+    act_c = gaussian_kernels_1d(np.arange(1, 65, 8), 64, cfg.lx, 0.7, 2)
+    act_r = gaussian_kernels_1d(np.arange(1, 193, 24), 192, cfg.lx, 0.7, 2)
+    a = np.zeros(8)
+    a[3], a[6] = 1.0, -1.0
+    fc = jnp.asarray(cfg.agent_power * (a @ act_c), jnp.float32)
+    fr = jnp.asarray(cfg.agent_power * (a @ act_r), jnp.float32)
+
+    solc = KSSolverETDRK4(nx=64, lx=cfg.lx, dt=cfg.dt, fft_mode="native")
+    solr = KSSolverETDRK4(nx=192, lx=cfg.lx, dt=cfg.dt, fft_mode="native")
+    yc, yr = jnp.asarray(y64, jnp.float32), jnp.asarray(y192, jnp.float32)
+    for _ in range(10):
+        yc = solc.step(yc, fc)
+        yr = solr.step(yr, fr)
+    oc = sens_c @ np.asarray(yc)
+    orr = sens_r @ np.asarray(yr)
+    rel = np.abs(oc - orr).max() / np.abs(orr).max()
+    assert rel < 3e-4, rel

@@ -206,3 +206,30 @@ def test_shipped_keller_segel_fast_artifact_regulates():
     pre = dev[max(0, act_start - 100):act_start].mean()
     post = dev[-dev.shape[0] // 10:].mean()
     assert post < 0.15 * pre, (pre, post)
+
+
+def test_shipped_coarse_grid_artifact_transfers_to_fine_grid():
+    """The KS22_64 coarse-tier artifact (trained ENTIRELY on the nx=64 grid,
+    configs/ks.py KS22_64 note) must stabilize the standard nx=192 fidelity
+    env through the plot_heat protocol — resolution transfer in the
+    train-coarse -> eval-fine direction (measured 0.91% suppression;
+    RESULTS.md)."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22_64")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS22)  # the FINE-grid env
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.1 * pre, (pre, post)
