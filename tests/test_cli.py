@@ -70,3 +70,21 @@ def test_cli_resume(tmp_path):
                 "--out", out, "--resume", cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "resuming from ep" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_coarse_preset_batched_train_cross_grid_eval(tmp_path):
+    """KS22_64 coarse tier (configs/ks.py): batched training on the 64-point
+    grid, then evaluation of the SAME checkpoint on the standard 192-grid
+    env — the cross-resolution flow behind artifacts/KS22_64."""
+    out = str(tmp_path / "run64")
+    r = run_cli("KS22_64", "--train", "--batched", "--cpu", "--n-envs", "32",
+                "--total-steps", "120", "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "saves", "agent_light.msgpack"))
+
+    r = run_cli("KS22", "--eval", "--cpu", "--load-from", out, "--out", out,
+                "--p-te", "20", "--p-t-action", "10", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["pre_control_mean_abs_dev"] > 0  # ran on the 192 grid
