@@ -53,7 +53,7 @@ def main():
     setup, actor = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22")
     print(json.dumps({"row": "KS22 stabilization", **suppression(setup, actor, 200.0, 100.0)}))
 
-    # --- zero-shot transfers from the KS200 artifact
+    # --- zero-shot transfers from the KS200 artifacts (fidelity + batched)
     _, actor200 = load_actor(lambda: C.build_ks(C.KS200), "artifacts/KS200")
     s500 = C.build_ks(C.KS500)
     print(json.dumps({"row": "KS200 -> KS500 transfer",
@@ -61,6 +61,9 @@ def main():
     sdist = C.build_ks(C.KS200_DISTURBED)
     print(json.dumps({"row": "KS200 -> mu=0.02 disturbed",
                       **suppression(sdist, actor200, 200.0, 100.0)}))
+    _, actor200b = load_actor(lambda: C.build_ks(C.KS200), "artifacts/KS200_batched")
+    print(json.dumps({"row": "KS200_batched -> KS500 transfer",
+                      **suppression(s500, actor200b, 200.0, 100.0)}))
 
     # --- Keller-Segel regulation (fast-tier artifact, RESULTS.md multi-seed
     # table; |u-1| deviation from an unseen random init, seed 8)

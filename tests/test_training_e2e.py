@@ -233,3 +233,30 @@ def test_shipped_coarse_grid_artifact_transfers_to_fine_grid():
     pre = np.abs(y[200:300]).mean()
     post = np.abs(y[-60:]).mean()
     assert post < 0.1 * pre, (pre, post)
+
+
+def test_shipped_ks200_batched_artifact_stabilizes_and_transfers():
+    """The batched-trained KS200 artifact (6000 fused steps x 256 envs,
+    gentle noise schedule — RESULTS.md round-3 rows: 0.87% on KS200, 0.83%
+    zero-shot on the 2.5x KS500 domain, vs the fidelity artifact's
+    8.1%/7.8%) must stabilize the KS500 transfer protocol."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.configs import KS500
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS200_batched")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS500)  # the 2.5x transfer target
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.1 * pre, (pre, post)
