@@ -104,3 +104,34 @@ def test_y0_pool_resets():
     # every env's initial field is one of the pool entries
     for row in y0s:
         assert any(np.allclose(row, p) for p in pool)
+
+
+def test_pipelined_driver_matches_synchronous_accounting():
+    """train_batched defers record consumption by one chunk (the software
+    pipeline that hides the device-dispatch RPC, PERFORMANCE.md round 3);
+    the hook accounting and chunk means must be IDENTICAL to a synchronous
+    loop over the same chunk stream."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+
+    trainer = make_trainer(n_envs=8)
+    ts_p, hook_p, means_p = train_batched(
+        trainer, total_steps=200, key=jax.random.PRNGKey(3), chunk_len=25)
+
+    # synchronous reference loop over the identical chunk stream
+    ts = trainer.init(jax.random.PRNGKey(3))
+    chunk_fn = trainer.make_chunk_fn(25)
+    hook_s = PDEHook(min_best_episode=trainer.cfg.min_best_episode,
+                     collect_best_trace=False)
+    means_s = []
+    for _ in range(8):
+        ts, recs = chunk_fn(ts)
+        hook_s.feed_episode_records(recs)
+        means_s.append(float(jnp.mean(recs["mean_reward"])))
+    hook_s.adopt_device_best(ts.best_reward, ts.best_episode, ts.best_actor)
+
+    assert np.allclose(means_p, means_s)
+    assert hook_p.rewards == hook_s.rewards
+    assert hook_p.ep == hook_s.ep
+    assert hook_p.bestreward == hook_s.bestreward
