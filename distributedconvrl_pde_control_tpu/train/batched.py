@@ -169,7 +169,14 @@ class BatchedTrainer:
         # to pushing the pre-reset obs, at one (B, ns, n_act) relayout per
         # step instead of two (the relayout reads the padded TPU tiles of
         # the obs array and costs ~10% of the fused step at 16k envs).
-        r_flat = new_estates.reward.reshape(B * n_act)
+        # blow-up steps can carry non-finite rewards (fluid's 'reward'
+        # guard fires ON the offending step, FluidSetup.jl:56-57); clamp
+        # them before they reach the replay/accounting, exactly like the
+        # sharded trainer's safe_r (parallel/multichip.py) — one NaN row
+        # otherwise poisons the first gradient update and cascades
+        safe_reward = jnp.where(jnp.isfinite(new_estates.reward),
+                                new_estates.reward, -env.max_value)
+        r_flat = safe_reward.reshape(B * n_act)
         t_flat = jnp.repeat(done.astype(jnp.float32), n_act)
         replay = replay_push_flat(ts.replay, obs_flat, actions_flat, r_flat,
                                   t_flat, new_obs_flat)
@@ -200,7 +207,7 @@ class BatchedTrainer:
         # the actor as of that episode's end, PDEhook.jl:65-76)
         completed = jnp.logical_and(
             done, new_estates.time >= env.te * (1.0 - 1e-6))
-        step_mean_r = jnp.mean(new_estates.reward, axis=-1)  # (B,)
+        step_mean_r = jnp.mean(safe_reward, axis=-1)  # (B,)
         ep_r = ts.ep_reward + step_mean_r
         ep_count = ts.ep_count + jnp.sum(done.astype(jnp.int32))
         cand = jnp.where(jnp.logical_and(done, completed), ep_r, -jnp.inf)
@@ -216,7 +223,7 @@ class BatchedTrainer:
             "finished": done,
             "completed": completed,
             "ep_reward": ep_r,
-            "mean_reward": jnp.mean(new_estates.reward),
+            "mean_reward": jnp.mean(safe_reward),
         }
         return (
             BatchedTrainState(
@@ -276,8 +283,13 @@ class BatchedTrainer:
                     lambda n, o: jnp.where(
                         active.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
                     new_estates, estates)
-                r = jnp.where(active, jnp.mean(new_estates.reward, -1), 0.0)
-                return estates, (r, active)
+                # the blow-up step itself can carry a non-finite reward
+                # (fluid 'reward' guard); exclude it from the mean instead
+                # of letting one diverged env NaN the whole evaluation
+                step_r = jnp.mean(new_estates.reward, -1)
+                ok = jnp.logical_and(active, jnp.isfinite(step_r))
+                r = jnp.where(ok, step_r, 0.0)
+                return estates, (r, ok)
 
             _, (rs, actives) = jax.lax.scan(body, estates, None, length=n_steps)
             return rs, actives

@@ -90,6 +90,7 @@ def main():
     from distributedconvrl_pde_control_tpu.train.eval import actor_policy, energy_eval
 
     for name, builder in [("Fluid_8", lambda: C.build_fluid(C.FLUID_8)),
+                          ("Fluid_8_batched", lambda: C.build_fluid(C.FLUID_8)),
                           ("Fluid_16", lambda: C.build_fluid(C.FLUID_16)),
                           ("Fluid_32", lambda: C.build_fluid(C.FLUID_32))]:
         setup, actor = load_actor(builder, f"artifacts/{name}")
