@@ -44,6 +44,14 @@ def build_setup(name: str):
             __import__("dataclasses").replace(
                 C.FLUID_8, name="Fluid_8_fast", adaptive=False, stepper="ifrk4")
         ),
+        "Fluid_16_fast": lambda: C.build_fluid(
+            __import__("dataclasses").replace(
+                C.FLUID_16, name="Fluid_16_fast", adaptive=False, stepper="ifrk4")
+        ),
+        "Fluid_32_fast": lambda: C.build_fluid(
+            __import__("dataclasses").replace(
+                C.FLUID_32, name="Fluid_32_fast", adaptive=False, stepper="ifrk4")
+        ),
         "Fluid_8_eval": lambda: C.build_fluid(
             __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
         ),
