@@ -22,6 +22,7 @@ is ~8x higher still.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -42,7 +43,25 @@ TIMED_ROUNDS = 5
 BASELINE_STEPS_PER_SEC = 50.0 * 1554.7
 
 
-def main():
+METRIC = "env steps/sec (batched KS rollout+train)"
+
+# Testing hook: BENCH_SIMULATE_FAILURES=N makes the first N attempts raise a
+# JaxRuntimeError before any device work, to exercise the retry path end to
+# end (tests/test_graft_entry.py and the round-2 verdict's done-criterion).
+_sim_failures = int(os.environ.get("BENCH_SIMULATE_FAILURES", "0"))
+
+
+def run_once():
+    """Build, warm up, and measure — self-contained so a backend reset
+    between attempts invalidates nothing this attempt reuses."""
+    global _sim_failures
+    if _sim_failures > 0:
+        _sim_failures -= 1
+        raise jax.errors.JaxRuntimeError(
+            "FAILED_PRECONDITION: simulated transient TPU failure "
+            "(BENCH_SIMULATE_FAILURES)"
+        )
+
     import dataclasses
 
     from distributedconvrl_pde_control_tpu.configs import KS22, build_ks
@@ -86,9 +105,34 @@ def main():
         jax.block_until_ready(recs["mean_reward"])
         dt = time.perf_counter() - t0
         best_rate = max(best_rate, TIMED_ROUNDS * CHUNK * N_ENVS / dt)
+    return best_rate
+
+
+def main():
+    """Crash-proof driver entry: the round-2 driver capture died with a
+    transient axon FAILED_PRECONDITION at the warmup chunk (BENCH_r02.json
+    rc=1) while an identical re-run did 23.5M steps/s. Retry with backend
+    re-init; if every attempt fails, still emit ONE parseable JSON line with
+    an `error` field instead of a traceback."""
+    from distributedconvrl_pde_control_tpu.utils.resilience import (
+        run_with_backend_retry,
+    )
+
+    backoff_s = float(os.environ.get("BENCH_RETRY_BACKOFF_S", "10.0"))
+    try:
+        best_rate = run_with_backend_retry(run_once, attempts=3, backoff_s=backoff_s)
+    except Exception as e:
+        print(json.dumps({
+            "metric": METRIC,
+            "value": 0.0,
+            "unit": "env_steps/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(0)
 
     print(json.dumps({
-        "metric": "env steps/sec (batched KS rollout+train)",
+        "metric": METRIC,
         "value": round(best_rate, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(best_rate / BASELINE_STEPS_PER_SEC, 3),

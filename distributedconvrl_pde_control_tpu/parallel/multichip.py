@@ -605,6 +605,13 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
     chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
 
     noise = float(state.agent.act_noise)
+    # One-chunk software pipeline, same as train_batched
+    # (train/batched.py): dispatch chunk n+1 BEFORE reading chunk n's
+    # records, so the host accounting's device->host RPC (~20 ms through
+    # the axon tunnel) overlaps the next chunk's device compute. The
+    # pending chunk is drained at each loop boundary so reward clamping
+    # and the per-loop print see complete accounting.
+    pending = None
     for i in range(loops):
         state = state.replace(
             agent=state.agent.replace(act_noise=jnp.asarray(noise, jnp.float32)))
@@ -612,8 +619,13 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
         steps = 0
         while steps < no_steps:
             state, recs = chunk_fn(state)
-            hook.feed_episode_records(recs)
+            if pending is not None:
+                hook.feed_episode_records(pending)
+            pending = recs
             steps += tcfg.chunk_len
+        if pending is not None:
+            hook.feed_episode_records(pending)
+            pending = None
         if verbose:
             print(f"[{cfg.name} sharded {trainer.n_dp}x{trainer.n_sp}] "
                   f"loop {i + 1}/{loops} noise={noise:.4f} "
@@ -624,20 +636,6 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
 
     finalize_hook(hook, state)
     return state, hook
-
-
-def _feed_hook(hook, recs) -> None:
-    """Append finished-episode rewards from one chunk's records, in step
-    order (the host half of PDEhook.jl:52,65-76 accounting)."""
-    finished = np.asarray(recs["finished"])
-    completed = np.asarray(recs["completed"])
-    ep_reward = np.asarray(recs["ep_reward"])
-    for t in range(finished.shape[0]):
-        for r, comp in zip(ep_reward[t][finished[t]], completed[t][finished[t]]):
-            hook.rewards.append(float(r))
-            if comp:
-                hook.rewards_compare.append(float(r))
-            hook.ep += 1
 
 
 def finalize_hook(hook, state: MCState) -> None:

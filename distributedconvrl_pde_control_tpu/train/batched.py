@@ -360,7 +360,10 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
             r_eval = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
             hook.evals.append((steps_done, r_eval))
             if best_eval is None or r_eval > best_eval[0]:
-                best_eval = (r_eval, steps_done,
+                # the eval already synchronized the host, so reading the
+                # device episode counter here costs nothing extra — this is
+                # the episode index the checkpoint metadata records
+                best_eval = (r_eval, steps_done, int(ts.ep_count),
                              jax.tree.map(_np.asarray, ts.agent.actor))
             next_eval += eval_every
         if verbose and chunk_means:
@@ -369,9 +372,13 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     if pending is not None:
         _consume(pending)
     if best_eval is not None:
-        hook.best_actor = best_eval[2]
+        hook.best_actor = best_eval[3]
         hook.bestreward = best_eval[0]
-        hook.bestepisode = int(ts.ep_count)  # episode index unavailable mid-eval
+        # episodes finished when the winning eval ran (not the final count —
+        # round-2 verdict Weak #5: the shipped artifacts' best-episode
+        # metadata was wrong in exactly this mode)
+        hook.bestepisode = best_eval[2]
+        hook.best_eval_step = best_eval[1]
     else:
         hook.adopt_device_best(ts.best_reward, ts.best_episode, ts.best_actor)
     hook.current_actor = ts.agent.actor

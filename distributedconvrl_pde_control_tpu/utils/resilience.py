@@ -1,0 +1,78 @@
+"""Transient-backend-failure resilience for unattended driver artifacts.
+
+The axon TPU runtime occasionally wedges between processes: a fresh run can
+hit ``jax.errors.JaxRuntimeError: FAILED_PRECONDITION`` while materializing a
+jit constant (observed in the driver-captured round-2 bench, BENCH_r02.json
+rc=1) even though an identical re-run succeeds. The reference gets this
+robustness for free from a human re-running a crashed Julia script; the
+unattended bench/entry artifacts here must supply it themselves.
+
+``run_with_backend_retry`` runs a zero-argument builder/measure function and,
+on failure, resets the JAX backend (``jax.extend.backend.clear_backends()`` +
+a fresh device query, so the retry re-creates every device buffer from
+scratch) with bounded backoff before retrying. The wrapped function must be
+self-contained: it must not capture device arrays from a previous attempt,
+because those die with the cleared backend.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+
+def reset_backend() -> None:
+    """Tear down live JAX backends and force a fresh device query.
+
+    Best-effort: a failure while clearing (e.g. the runtime is gone entirely)
+    is swallowed — the subsequent attempt will surface the real error.
+    """
+    import jax
+
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        jax.devices()  # re-initialize eagerly so init errors count as attempt errors
+    except Exception as e:  # pragma: no cover - depends on runtime state
+        print(f"[resilience] backend reset failed (continuing): {e!r}", file=sys.stderr)
+
+
+def run_with_backend_retry(
+    fn: Callable[[], T],
+    *,
+    attempts: int = 3,
+    backoff_s: float = 10.0,
+    sleep: Callable[[float], None] = time.sleep,
+    reset: Callable[[], None] = reset_backend,
+) -> T:
+    """Run ``fn()`` with up to ``attempts`` tries, resetting the backend between.
+
+    Backoff is linear: ``backoff_s * attempt_index`` seconds after attempt i
+    fails (no sleep after the last failure). Re-raises the final exception if
+    every attempt fails; KeyboardInterrupt/SystemExit always propagate.
+    """
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as e:
+            last = e
+            print(
+                f"[resilience] attempt {i + 1}/{attempts} failed: "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            if i + 1 == attempts:
+                break
+            reset()
+            sleep(backoff_s * (i + 1))
+    assert last is not None
+    raise last
