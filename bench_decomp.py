@@ -47,9 +47,7 @@ from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
 env, agent = setup.env, setup.agent
 astate = agent.init_state(jax.random.PRNGKey(0))
 acfg = agent.cfg
-ks = [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(N)]
-est = jax.vmap(lambda k: env.reset_random(k) if hasattr(env, "reset_random") else env.reset())(
-    jnp.stack(ks)) if False else jax.vmap(lambda _: env.reset())(jnp.arange(N))
+est = jax.vmap(lambda _: env.reset())(jnp.arange(N))
 
 def body(c, _):
     est, key = c

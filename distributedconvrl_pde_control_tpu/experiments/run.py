@@ -17,6 +17,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# suffix tiers derivable from any fluid base preset (ONE table for the
+# single-chip and --mesh paths — the round-2 advisor flagged the two
+# hand-maintained copies drifting):
+#   _fast      = integrating-factor RK4 throughput tier (PERFORMANCE.md ladder)
+#   _fixedstep = the reference's do_step fixed-step RK4 (FluidSetup.jl:163-172;
+#                presets default to the installed adaptive do_step2, :333)
+#   _eval      = evaluation protocol (nx=256, seed 76; FluidSetup.jl:32-37)
+_FLUID_TIERS = {
+    "_fast": dict(adaptive=False, stepper="ifrk4"),
+    "_fixedstep": dict(adaptive=False),
+    "_eval": dict(evaluation=True),
+}
+
+
+def fluid_config_for(name: str):
+    """The raw FluidConfig behind a fluid preset name — base presets plus
+    any `_fast`/`_fixedstep`/`_eval` tier of them. Used by both the
+    single-chip builders and the `--mesh` sharded path."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu import configs as C
+
+    bases = {
+        "Fluid_8": C.FLUID_8,
+        "Fluid_16": C.FLUID_16,
+        "Fluid_32": C.FLUID_32,
+        "Fluid_8_256": C.FLUID_8_256,
+    }
+    if name in bases:
+        return bases[name]
+    for suffix, over in _FLUID_TIERS.items():
+        if name.endswith(suffix) and name[: -len(suffix)] in bases:
+            return dataclasses.replace(bases[name[: -len(suffix)]],
+                                       name=name, **over)
+    return None
+
+
+def keller_segel_config_for(name: str):
+    """The KellerSegelConfig behind a Keller-Segel preset name (base +
+    `_fast` solver tier), for the `--mesh` sharded path."""
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16,
+        KELLER_SEGEL_10_16_FAST,
+    )
+
+    return {
+        "KellerSegel10_16": KELLER_SEGEL_10_16,
+        "KellerSegel10_16_fast": KELLER_SEGEL_10_16_FAST,
+    }.get(name)
+
+
 def build_setup(name: str):
     from distributedconvrl_pde_control_tpu import configs as C
 
@@ -27,72 +78,21 @@ def build_setup(name: str):
         "KS200_disturbed": lambda: C.build_ks(C.KS200_DISTURBED),
         "KS22_64": lambda: C.build_ks(C.KS22_64),
         "KS22_global": lambda: C.build_ks_global(C.KS22_GLOBAL),
-        "Fluid_8": lambda: C.build_fluid(C.FLUID_8),
-        "Fluid_16": lambda: C.build_fluid(C.FLUID_16),
-        "Fluid_32": lambda: C.build_fluid(C.FLUID_32),
-        "Fluid_8_256": lambda: C.build_fluid(C.FLUID_8_256),
-        # fluid presets default to the reference's ACTUAL installed stepper
-        # (do_step2 adaptive RK4 at tol 1e0, FluidSetup.jl:333); this keeps
-        # the fixed-step do_step variant (FluidSetup.jl:163-172) reachable
-        "Fluid_8_fixedstep": lambda: C.build_fluid(
-            __import__("dataclasses").replace(
-                C.FLUID_8, name="Fluid_8_fixedstep", adaptive=False)
-        ),
-        # throughput tier: integrating-factor RK4 at oversampling/4 substeps
-        # (validated-equal-accuracy fast stepper, PERFORMANCE.md ladder)
-        "Fluid_8_fast": lambda: C.build_fluid(
-            __import__("dataclasses").replace(
-                C.FLUID_8, name="Fluid_8_fast", adaptive=False, stepper="ifrk4")
-        ),
-        "Fluid_16_fast": lambda: C.build_fluid(
-            __import__("dataclasses").replace(
-                C.FLUID_16, name="Fluid_16_fast", adaptive=False, stepper="ifrk4")
-        ),
-        "Fluid_32_fast": lambda: C.build_fluid(
-            __import__("dataclasses").replace(
-                C.FLUID_32, name="Fluid_32_fast", adaptive=False, stepper="ifrk4")
-        ),
-        "Fluid_8_eval": lambda: C.build_fluid(
-            __import__("dataclasses").replace(C.FLUID_8, evaluation=True)
-        ),
-        "Fluid_16_eval": lambda: C.build_fluid(
-            __import__("dataclasses").replace(C.FLUID_16, evaluation=True)
-        ),
-        "Fluid_32_eval": lambda: C.build_fluid(
-            __import__("dataclasses").replace(C.FLUID_32, evaluation=True)
-        ),
         "KellerSegel10_16": lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16),
         # throughput tier: 10 solver substeps (validated at the f32 accuracy
         # floor of the 50-substep reference budget; configs.keller_segel)
         "KellerSegel10_16_fast": lambda: C.build_keller_segel(
             C.KELLER_SEGEL_10_16_FAST),
     }
+    for fluid_name in ["Fluid_8", "Fluid_16", "Fluid_32", "Fluid_8_256",
+                       "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",
+                       "Fluid_8_256_fast", "Fluid_8_fixedstep",
+                       "Fluid_8_eval", "Fluid_16_eval", "Fluid_32_eval"]:
+        builders[fluid_name] = (
+            lambda n=fluid_name: C.build_fluid(fluid_config_for(n)))
     if name not in builders:
         raise SystemExit(f"unknown preset {name}; choose from {sorted(builders)}")
     return builders[name]()
-
-
-def fluid_config_for(name: str):
-    """The raw FluidConfig behind a fluid preset name (the sharded trainer
-    consumes the config, not the built single-chip Setup)."""
-    import dataclasses
-
-    from distributedconvrl_pde_control_tpu import configs as C
-
-    cfgs = {
-        "Fluid_8": C.FLUID_8,
-        "Fluid_16": C.FLUID_16,
-        "Fluid_32": C.FLUID_32,
-        "Fluid_8_256": C.FLUID_8_256,
-        "Fluid_8_256_fast": dataclasses.replace(
-            C.FLUID_8_256, name="Fluid_8_256_fast", stepper="ifrk4"),
-        "Fluid_8_fast": dataclasses.replace(
-            C.FLUID_8, name="Fluid_8_fast", adaptive=False, stepper="ifrk4"),
-        "Fluid_8_eval": dataclasses.replace(C.FLUID_8, evaluation=True),
-        "Fluid_16_eval": dataclasses.replace(C.FLUID_16, evaluation=True),
-        "Fluid_32_eval": dataclasses.replace(C.FLUID_32, evaluation=True),
-    }
-    return cfgs.get(name)
 
 
 def run_sharded(args) -> None:
@@ -112,16 +112,13 @@ def run_sharded(args) -> None:
     )
 
     cfg = fluid_config_for(args.preset)
-    is_ks = cfg is None and args.preset == "KellerSegel10_16"
+    is_ks = cfg is None
     if is_ks:
-        from distributedconvrl_pde_control_tpu.configs.keller_segel import (
-            KELLER_SEGEL_10_16,
-        )
-
-        cfg = KELLER_SEGEL_10_16
+        cfg = keller_segel_config_for(args.preset)
     if cfg is None:
         raise SystemExit(
-            f"--mesh supports fluid presets and KellerSegel10_16, not {args.preset}")
+            f"--mesh supports fluid presets (incl. _fast/_fixedstep/_eval "
+            f"tiers) and KellerSegel10_16[_fast], not {args.preset}")
     import dataclasses
 
     if args.nx:
@@ -213,6 +210,12 @@ def main(argv=None):
                     help="episodes per hyperopt trial (reference uses 100)")
     ap.add_argument("--loops", type=int, default=None)
     ap.add_argument("--no-steps", type=int, default=None)
+    ap.add_argument("--n-experiments", type=int, default=2,
+                    help="--train-multi restart count; 0 = restart endlessly "
+                         "(the reference's `while true` budget, KSSetup.jl:322)")
+    ap.add_argument("--no-episodes", type=int, default=2800,
+                    help="--train-multi episodes per experiment "
+                         "(KSSetup.jl:325)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--out", default=None, help="run directory (default runs/<preset>)")
     ap.add_argument("--load-from", default=None,
@@ -488,7 +491,8 @@ def main(argv=None):
         return
 
     if args.train_multi:
-        best = train_multi(setup, n_experiments=2,
+        best = train_multi(setup, no_episodes=args.no_episodes,
+                           n_experiments=args.n_experiments,
                            save_fn=lambda n, ts, hook: checkpoint.save(out_dir, ts, hook, n))
         print("best rewards per experiment:", best)
         return

@@ -29,9 +29,12 @@ Observability parity with the fidelity loop (src/PDEhook.jl):
     gradient updates — the same point the reference's PostEpisode hook sees),
   * checkpoints in the standard light format (`train.checkpoint`), so
     `experiments.run --eval` consumes sharded-trained artifacts unchanged.
-Not carried over: per-episode error_detection on the final field (would
-require gathering the full field to host every episode; blow-up episodes
-are still terminated and excluded from best tracking).
+  * per-episode error_detection (FluidSetup.jl:263-273 + PDEhook.jl:78-82)
+    runs DEVICE-SIDE on the local y-pencil blocks: x-jumps are shard-local,
+    y-jumps get the previous shard's boundary row via one `ppermute`, the
+    max is `pmax`'d over sp, and diverged episodes whose final field trips
+    the neighbor-jump test are surfaced through the chunk records into
+    `PDEHook.errored_episodes`.
 
 Replay invariant (load-bearing): the per-dp replay rides in `MCState` with
 a leading dp axis sharded P('dp') — locally shape (1, capacity, ...), the
@@ -72,6 +75,7 @@ from distributedconvrl_pde_control_tpu.parallel.ns_sharded import (
     NSShardedSolverRI,
     make_sharded_ops,
 )
+from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,11 +164,15 @@ class ShardedFluidTrainer:
             cfg, jnp.asarray(sens.reshape(n_act, -1), jnp.float32)
         )
         # round the per-dp capacity up to a multiple of the per-step push
-        # width so pushes take the contiguous fast path (replay_push_flat)
+        # width so pushes take the contiguous fast path (replay_push_flat);
+        # stored on self so init() builds the replay at the SAME rounded
+        # size the agent config claims (they previously disagreed for
+        # non-dividing capacities, silently taking the scatter slow path)
         push = (tcfg.n_envs // self.n_dp) * n_act
-        capacity = ((tcfg.capacity_per_dp + push - 1) // push) * push
+        self.capacity_per_dp = ((tcfg.capacity_per_dp + push - 1) // push) * push
         self.agent = DDPGAgent(
-            fluid_agent_config(cfg, self.featurizer.obs_dim, capacity=capacity)
+            fluid_agent_config(cfg, self.featurizer.obs_dim,
+                               capacity=self.capacity_per_dp)
         )
         self.max_steps = int(math.ceil((cfg.te - cfg.t0) / cfg.dt - 1e-9))
 
@@ -219,6 +227,28 @@ class ShardedFluidTrainer:
         return jax.lax.psum(
             jnp.sum(jnp.abs(w_local.reshape(bl, -1)), axis=-1), "sp"
         ) / (self.n * self.n)
+
+    def _error_flags(self, w_local):
+        """Per-env corrupted-field detector on local y-pencil blocks: real-
+        space neighbor jumps > 10 (FluidSetup.jl:263-273; the reference runs
+        it on `real(ifft(y))` — `w_local` is already real space here).
+
+        x-neighbors live inside the local block (x is unsharded); the
+        globally-rolled y-neighbor of a block's first row is the PREVIOUS
+        sp shard's last row — one boundary-row `ppermute`. NaN fields do NOT
+        flag (NaN > 10 is false), matching Julia's `maximum` semantics."""
+        bl = w_local.shape[0]
+        jump_x = jnp.abs(jnp.roll(w_local, 1, axis=2) - w_local)
+        last = w_local[:, -1:, :]
+        perm = [(i, (i + 1) % self.n_sp) for i in range(self.n_sp)]
+        prev_last = jax.lax.ppermute(last, "sp", perm)
+        rolled_y = jnp.concatenate([prev_last, w_local[:, :-1, :]], axis=1)
+        jump_y = jnp.abs(rolled_y - w_local)
+        local_max = jnp.maximum(
+            jnp.max(jump_x.reshape(bl, -1), axis=-1),
+            jnp.max(jump_y.reshape(bl, -1), axis=-1),
+        )
+        return jax.lax.pmax(local_max, "sp") > 10.0
 
     def _sensor_dots_host(self, w0: np.ndarray) -> jnp.ndarray:
         """Host-side (unsharded) raw sensor dots for init-time observations."""
@@ -284,7 +314,7 @@ class ShardedFluidTrainer:
         k_agent, k_run = jax.random.split(key)
         astate = self.agent.init_state(k_agent)
         acfg = self._acfg
-        replay1 = replay_init(tcfg.capacity_per_dp, acfg.ns, acfg.na_rows)
+        replay1 = replay_init(self.capacity_per_dp, acfg.ns, acfg.na_rows)
         replay = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (self.n_dp,) + x.shape), replay1
         )
@@ -441,6 +471,9 @@ class ShardedFluidTrainer:
             "completed": completed,
             "ep_reward": ep_r,
             "mean_reward": mean_r,
+            # diverged episode whose final field trips the corruption test
+            # (done & ~completed == blowup, so gate on blowup directly)
+            "errored": jnp.logical_and(blowup, self._error_flags(w_new)),
         }
         return new_state, records
 
@@ -462,6 +495,7 @@ class ShardedFluidTrainer:
             "completed": P(None, "dp"),
             "ep_reward": P(None, "dp"),
             "mean_reward": P(),
+            "errored": P(None, "dp"),
         }
         sharded = shard_map(
             chunk_local,
@@ -606,11 +640,13 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
 
     noise = float(state.agent.act_noise)
     # One-chunk software pipeline, same as train_batched
-    # (train/batched.py): dispatch chunk n+1 BEFORE reading chunk n's
-    # records, so the host accounting's device->host RPC (~20 ms through
-    # the axon tunnel) overlaps the next chunk's device compute. The
-    # pending chunk is drained at each loop boundary so reward clamping
-    # and the per-loop print see complete accounting.
+    # (train/batched.py): start ASYNC host copies of chunk n's records at
+    # dispatch time and consume them only after dispatching chunk n+1, so
+    # the per-array device->host RPCs (~20 ms each through the axon tunnel
+    # — latency-bound, the record arrays are tiny) overlap the next chunk's
+    # device compute instead of serializing with it. The pending chunk is
+    # drained at each loop boundary so reward clamping and the per-loop
+    # print see complete accounting.
     pending = None
     for i in range(loops):
         state = state.replace(
@@ -619,6 +655,7 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
         steps = 0
         while steps < no_steps:
             state, recs = chunk_fn(state)
+            start_host_copies(recs)
             if pending is not None:
                 hook.feed_episode_records(pending)
             pending = recs

@@ -91,8 +91,11 @@ class ShardedKellerSegelTrainer(ShardedFluidTrainer):
             sees_action=cfg.sees_action,
             action_rows=1 + cfg.memory_size,
         )
+        # push-rounded, stored on self: the inherited init() builds the
+        # replay at this size (see ShardedFluidTrainer.__init__)
         push = (tcfg.n_envs // self.n_dp) * n_act
-        capacity = ((tcfg.capacity_per_dp + push - 1) // push) * push
+        self.capacity_per_dp = ((tcfg.capacity_per_dp + push - 1) // push) * push
+        capacity = self.capacity_per_dp
         self.agent = DDPGAgent(DDPGConfig(
             ns=self.featurizer.obs_dim,
             na_rows=1 + cfg.memory_size,
@@ -171,6 +174,13 @@ class ShardedKellerSegelTrainer(ShardedFluidTrainer):
             - cfg.action_punish * actions[:, 0, :] ** 2
             - cfg.delta_action_punish * delta[:, 0, :] ** 2
         )
+
+    def _error_flags(self, w_local):
+        """No corrupted-field detector for this family: the reference's
+        error_detection exists only in the fluid setup (FluidSetup.jl:263-273);
+        KellerSegelSetup.jl installs none, so diverged episodes are never
+        flagged as corrupted here (parity)."""
+        return jnp.zeros((w_local.shape[0],), bool)
 
     def _eval_metric(self, w_local):
         """Mean |u - 1| — the chemotaxis regulation diagnostic (RESULTS.md)."""

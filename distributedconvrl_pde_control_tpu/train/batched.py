@@ -30,6 +30,7 @@ from distributedconvrl_pde_control_tpu.agents.replay import (
     replay_sample,
 )
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
+from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
 
 
 @struct.dataclass
@@ -349,6 +350,7 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
 
     while steps_done < total_steps:
         ts, recs = chunk_fn(ts)
+        start_host_copies(recs)  # overlap the per-array RPC latency too
         steps_done += chunk_len
         if pending is not None:
             _consume(pending)

@@ -131,9 +131,18 @@ def load(dirpath: str, ts_template: TrainState, number: Optional[int] = None):
         # layout change (agents/replay.py LAYOUT note). Transpose on load.
         tmpl_rb = ts_template.replay
         rb = ts.replay
-        if rb.s.ndim == 2 and rb.s.shape != tmpl_rb.s.shape \
-                and rb.s.shape == tmpl_rb.s.shape[::-1]:
-            ts = ts.replace(replay=rb.replace(s=rb.s.T, a=rb.a.T, sn=rb.sn.T))
+        if rb.s.ndim == 2 and rb.s.shape != tmpl_rb.s.shape:
+            if rb.s.shape == tmpl_rb.s.shape[::-1]:
+                ts = ts.replace(replay=rb.replace(s=rb.s.T, a=rb.a.T, sn=rb.sn.T))
+            else:
+                # neither the current layout nor the exact row-major reverse:
+                # passing it through silently corrupts replay semantics on
+                # resume (e.g. a capacity change since the save)
+                raise ValueError(
+                    f"checkpoint replay state shape {rb.s.shape} matches "
+                    f"neither the template's {tmpl_rb.s.shape} nor its "
+                    f"row-major transpose; rebuild the template with the "
+                    f"checkpoint's capacity to resume from it")
     else:
         template = {"agent": ts_template.agent, "key": ts_template.key}
         with open(light_path, "rb") as f:

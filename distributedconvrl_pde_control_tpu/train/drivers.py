@@ -114,11 +114,17 @@ def train_multi(setup: Setup, no_episodes: int = 2800, n_experiments: int = 2,
     noise schedule, collect best rewards (optionally checkpointing each
     experiment via `save_fn(n_experiment, ts, hook)`).
 
-    The reference loops forever; we take `n_experiments` for testability.
+    `n_experiments <= 0` restarts endlessly — the reference's `while true`
+    budget (KSSetup.jl:322; stop with Ctrl-C, each experiment's checkpoint
+    is already saved by then). A positive count bounds it for testability.
     """
     best_rewards = []
     master_key = jax.random.PRNGKey(setup.seed)
-    for n_exp in range(1, n_experiments + 1):
+    n_exp = 0
+    while True:
+        n_exp += 1
+        if n_experiments > 0 and n_exp > n_experiments:
+            break
         master_key, k_init, key = jax.random.split(master_key, 3)
         episode_fn = make_episode_fn(setup.env, setup.agent, learning=True, record=setup.record)
         ts = init_train_state(setup.env, setup.agent, k_init)

@@ -78,17 +78,27 @@ class PDEHook:
 
     def feed_episode_records(self, recs) -> None:
         """Append finished-episode rewards from a fused-chunk record dict
-        (keys finished/completed/ep_reward, arrays (n_steps, n_envs)) in step
-        order — the host half of the PDEhook accounting for the batched and
-        sharded trainers, whose episodes finish inside jitted chunks."""
+        (keys finished/completed/ep_reward [+ optional errored], arrays
+        (n_steps, n_envs)) in step order — the host half of the PDEhook
+        accounting for the batched and sharded trainers, whose episodes
+        finish inside jitted chunks. An `errored` flag (device-side
+        corrupted-field detection, FluidSetup.jl:263-273 semantics) records
+        the episode index in `errored_episodes` (PDEhook.jl:78-82)."""
         finished = np.asarray(recs["finished"])
         completed = np.asarray(recs["completed"])
         ep_reward = np.asarray(recs["ep_reward"])
+        errored = recs.get("errored")
+        errored = (np.asarray(errored) if errored is not None
+                   else np.zeros_like(finished, dtype=bool))
         for t in range(finished.shape[0]):
-            for r, comp in zip(ep_reward[t][finished[t]], completed[t][finished[t]]):
+            fin = finished[t]
+            for r, comp, err in zip(ep_reward[t][fin], completed[t][fin],
+                                    errored[t][fin]):
                 self.rewards.append(float(r))
                 if comp:
                     self.rewards_compare.append(float(r))
+                if err:
+                    self.errored_episodes.append(self.ep)
                 self.ep += 1
 
     def adopt_device_best(self, best_reward, best_episode, best_actor) -> None:

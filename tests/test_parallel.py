@@ -155,6 +155,64 @@ def test_multichip_trainer_one_step():
     assert np.isfinite(shards[0]).all()
 
 
+def test_sharded_error_detection_2x4():
+    """Device-side corrupted-field detection (FluidSetup.jl:263-273 +
+    PDEhook.jl:78-82) on a 2x4 mesh: an injected corrupted field flags its
+    episode through the chunk records into hook.errored_episodes; a
+    diverged-but-smooth field does not. The halo logic is verified directly:
+    a field whose only jumps sit across sp-shard boundaries must flag (the
+    previous shard's last row arrives by ppermute)."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+    )
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    cfg = _tiny_fluid_cfg(check_max_value="y", adaptive=False)
+    tcfg = ShardedTrainConfig(n_envs=4, batch_size=8, capacity_per_dp=1024,
+                              y0_pool_size=2)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    n = cfg.grid_nx
+
+    # ---- unit: the sharded detector on hand-built fields
+    flags_fn = jax.jit(shard_map(
+        tr._error_flags, mesh=mesh, in_specs=(tr._w_spec,),
+        out_specs=P("dp"), check_vma=False))
+    w = np.zeros((4, n, n), np.float32)
+    # env 0: constant per sp block -> jumps ONLY across shard boundaries
+    w[0] = np.repeat(np.arange(4.0, dtype=np.float32) * 50.0, n // 4)[:, None]
+    # env 1: large but smooth (constant) -> diverged, NOT corrupted
+    w[1] = 50.0
+    # env 2: x-direction jump inside every local block (shard-local path)
+    w[2, :, n // 2:] = 50.0
+    w_dev = jax.device_put(jnp.asarray(w), NamedSharding(mesh, tr._w_spec))
+    flags = np.asarray(flags_fn(w_dev))
+    assert flags.tolist() == [True, False, True, False]
+
+    # ---- end to end: corrupted + blown-up env 0 flags its episode in the
+    # hook; blown-up-but-smooth env 1 finishes unflagged
+    state = tr.init(jax.random.PRNGKey(0))
+    w = np.zeros((4, n, n), np.float32)
+    w[0] = np.repeat(np.arange(4.0, dtype=np.float32) * 50.0, n // 4)[:, None]
+    w[1] = 50.0  # blows up (check_max_value="y", max 3.0) but is smooth
+    state = state.replace(
+        w=jax.device_put(jnp.asarray(w), NamedSharding(mesh, tr._w_spec)))
+    step = tr.make_chunk_fn(1)
+    state, recs = step(state)
+    finished = np.asarray(recs["finished"])[0]
+    errored = np.asarray(recs["errored"])[0]
+    assert finished.tolist() == [True, True, False, False]
+    assert errored.tolist() == [True, False, False, False]
+
+    hook = PDEHook(collect_best_trace=False)
+    hook.feed_episode_records(recs)
+    assert hook.errored_episodes == [1]  # env 0 = first finished episode
+    assert hook.ep - 1 == 2
+
+
 def test_multichip_trainer_episode_accounting_and_best_tracking():
     """Chunked sharded training produces hook-grade episode records, an
     on-device best-actor snapshot, and a standard-format light checkpoint
