@@ -89,7 +89,7 @@ def run_once():
 
     # compile + warmup
     ts, recs = chunk_fn(ts)
-    jax.block_until_ready(recs["mean_reward"])
+    jax.block_until_ready(recs)
 
     # Pipelined steady-state measurement: queue TIMED_ROUNDS chunks
     # back-to-back and synchronize once, exactly how train_batched executes
@@ -102,7 +102,7 @@ def run_once():
         t0 = time.perf_counter()
         for _ in range(TIMED_ROUNDS):
             ts, recs = chunk_fn(ts)
-        jax.block_until_ready(recs["mean_reward"])
+        jax.block_until_ready(recs)
         dt = time.perf_counter() - t0
         best_rate = max(best_rate, TIMED_ROUNDS * CHUNK * N_ENVS / dt)
     return best_rate

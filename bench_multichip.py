@@ -99,24 +99,27 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
         state_box[0] = s
 
     def driver_in_loop(n):
-        """The PRODUCT loop (train_sharded): read every chunk's episode
-        records on the host (PDEHook accounting) with a one-chunk deferral
-        + async host copies, so the per-array device->host RPCs overlap the
-        next chunk's compute. The gap vs chunk_only is the driver overhead
-        the pipeline fails to hide (round-2 verdict Weak #2: the old
+        """The PRODUCT loop (train_sharded): read every chunk's PACKED
+        episode-record array on the host (PDEHook accounting) with a
+        depth-4 deferral + async host copies, so the single ~20-40 ms
+        device->host RPC overlaps several chunks of device compute —
+        exactly the train_sharded pipeline (ShardedTrainConfig.
+        pipeline_depth). The gap vs chunk_only is the driver overhead the
+        pipeline fails to hide (round-2 verdict Weak #2: the old
         synchronous driver lost up to ~25% here, unmeasured)."""
         s = state_box[0]
         hook = PDEHook(collect_best_trace=False)
-        pending = None
+        pending: list = []
         done = 0
         while done < n:
             s, recs = chunk(s)
             start_host_copies(recs)
-            if pending is not None:
-                hook.feed_episode_records(pending)
-            pending = recs
+            pending.append(recs)
+            if len(pending) > 4:
+                hook.feed_episode_records(pending.pop(0))
             done += chunk_len
-        hook.feed_episode_records(pending)
+        for recs in pending:
+            hook.feed_episode_records(recs)
         jax.block_until_ready(s.mean_reward)
         state_box[0] = s
 

@@ -16,7 +16,7 @@ from distributedconvrl_pde_control_tpu.configs.ks import (
     KS22_GLOBAL,
     build_ks_global,
 )
-from distributedconvrl_pde_control_tpu.configs.fluid import FluidConfig, build_fluid, FLUID_8, FLUID_16, FLUID_32, FLUID_8_256
+from distributedconvrl_pde_control_tpu.configs.fluid import FluidConfig, build_fluid, FLUID_8, FLUID_16, FLUID_32, FLUID_8_256, FLUID_16_256
 from distributedconvrl_pde_control_tpu.configs.keller_segel import (
     KellerSegelConfig,
     build_keller_segel,
@@ -27,7 +27,7 @@ from distributedconvrl_pde_control_tpu.configs.keller_segel import (
 __all__ = [
     "KSConfig", "build_ks", "KS22", "KS200", "KS500", "KS200_DISTURBED", "KS22_64",
     "KS22_GLOBAL", "build_ks_global",
-    "FluidConfig", "build_fluid", "FLUID_8", "FLUID_16", "FLUID_32", "FLUID_8_256",
+    "FluidConfig", "build_fluid", "FLUID_8", "FLUID_16", "FLUID_32", "FLUID_8_256", "FLUID_16_256",
     "KellerSegelConfig", "build_keller_segel", "KELLER_SEGEL_10_16",
     "KELLER_SEGEL_10_16_FAST",
 ]

@@ -153,6 +153,12 @@ FLUID_32 = FluidConfig(name="Fluid_32", seed=886, sensors_per_axis=32, variance=
 FLUID_8_256 = FluidConfig(name="Fluid_8_256", seed=531, sensors_per_axis=8,
                           variance=0.08, nx=256)  # sharded path: fixed-step
                           # oversampled solver (see parallel.multichip)
+# The dense-lattice scale-out preset: Fluid_16's 16x16 actuation trained
+# NATIVELY at the 256^2 evaluation grid (the lattice where native-resolution
+# training can win — its 128^2 artifact already beats corrected opposition,
+# RESULTS.md "Denser actuator lattices").
+FLUID_16_256 = FluidConfig(name="Fluid_16_256", seed=436, sensors_per_axis=16,
+                           variance=0.04, nx=256)
 
 
 def fluid_error_detection(y: np.ndarray) -> bool:

@@ -51,6 +51,10 @@ class KSConfig:
     # part, ONE step per env step at equal accuracy on attractor states
     # (ops/ks.py::KSSolverETDRK4; 7.5x fewer transforms, PERFORMANCE.md)
     stepper: str = "cnab2"
+    # etdrk4-only: transform tier for the nonlinear evaluations (error
+    # enters scaled by the O(h) phi-weights; ops/ks.py nl_fft_mode note).
+    # None = fft_mode everywhere.
+    nl_fft_mode: str | None = None
     max_value: float = 30.0
     check_max_value: str = "y"
     # featurization
@@ -145,7 +149,8 @@ def build_ks(cfg: KSConfig = KS22) -> Setup:
     """Assemble the distributed-agent KS setup (KSSetup.jl:249-300)."""
     if cfg.stepper == "etdrk4":
         solver = KSSolverETDRK4(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=1,
-                                mu=cfg.mu, fft_mode=cfg.fft_mode)
+                                mu=cfg.mu, fft_mode=cfg.fft_mode,
+                                nl_fft_mode=cfg.nl_fft_mode)
     else:
         solver = KSSolver(nx=cfg.nx, lx=cfg.lx, dt=cfg.dt, oversampling=cfg.oversampling,
                           mu=cfg.mu, fft_mode=cfg.fft_mode)

@@ -44,6 +44,7 @@ def fluid_config_for(name: str):
         "Fluid_16": C.FLUID_16,
         "Fluid_32": C.FLUID_32,
         "Fluid_8_256": C.FLUID_8_256,
+        "Fluid_16_256": C.FLUID_16_256,
     }
     if name in bases:
         return bases[name]
@@ -85,6 +86,7 @@ def build_setup(name: str):
             C.KELLER_SEGEL_10_16_FAST),
     }
     for fluid_name in ["Fluid_8", "Fluid_16", "Fluid_32", "Fluid_8_256",
+                       "Fluid_16_256", "Fluid_16_256_fast",
                        "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",
                        "Fluid_8_256_fast", "Fluid_8_fixedstep",
                        "Fluid_8_eval", "Fluid_16_eval", "Fluid_32_eval"]:

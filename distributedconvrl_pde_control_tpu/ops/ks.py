@@ -146,6 +146,14 @@ class KSSolverETDRK4:
     oversampling: int = 1  # substeps per env step (1 suffices for KS22)
     mu: float = 0.0
     fft_mode: str = "auto"
+    # Transform tier for the NONLINEAR evaluations only (the 8 transforms
+    # per substep inside `nonlin`; the 3 boundary transforms keep
+    # `fft_mode`). ETDRK4 multiplies every nonlinear result by the O(h)
+    # phi-weights (q_w/f1..f3), so a cheaper tier's error enters the state
+    # scaled by h*phi instead of raw — "matmul_fast" (1-pass bf16) here is
+    # the measured next lever after the 3-pass matmul_hi roofline
+    # (PERFORMANCE.md). None = same as fft_mode.
+    nl_fft_mode: str | None = None
 
     e_full: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
     e_half: jnp.ndarray = dataclasses.field(init=False, repr=False, compare=False)
@@ -193,6 +201,7 @@ class KSSolverETDRK4:
         mu-disturbance) is constant over the env step and enters the
         nonlinear term additively, like the reference's CNAB2 treats it."""
         mode = self.fft_mode
+        nl_mode = self.nl_fft_mode or mode
         y = y.astype(jnp.float32)
         vr, vi = fourier.rfft_ri(y, mode=mode)
         fr, fi = fourier.rfft_ri(forcing.astype(jnp.float32), mode=mode)
@@ -200,8 +209,8 @@ class KSSolverETDRK4:
         fi = fi + self.dist_im
 
         def nonlin(zr, zi):
-            u = fourier.irfft_ri(zr, zi, self.nx, mode=mode)
-            sr, si = fourier.rfft_ri(u * u, mode=mode)
+            u = fourier.irfft_ri(zr, zi, self.nx, mode=nl_mode)
+            sr, si = fourier.rfft_ri(u * u, mode=nl_mode)
             # G*s with G = -0.5 i alpha, plus the constant forcing
             return self.g_alpha * si + fr, -self.g_alpha * sr + fi
 

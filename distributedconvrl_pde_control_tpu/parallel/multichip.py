@@ -89,6 +89,14 @@ class ShardedTrainConfig:
     capacity_per_dp: int = 100_000
     y0_pool_size: int = 8  # fresh-IC pool for in-graph episode resets
     chunk_len: int = 25  # fused steps per host round-trip
+    # Software-pipeline depth of the record consumption in train_sharded:
+    # chunk n's packed record array is read on the host only after chunks
+    # n+1..n+depth have been dispatched. The axon-tunnel RPC spans SEVERAL
+    # small-grid chunk windows (128^2, chunk_len=10: measured overhead
+    # 281%/108%/54%/14% at depths 0/1/2/4, flat from 4 to drain-at-end —
+    # depth 4 fully hides the latency; the residual is un-pipelineable host
+    # work). Accounting stays exact: loop boundaries drain the queue.
+    pipeline_depth: int = 4
 
 
 @struct.dataclass
@@ -480,9 +488,9 @@ class ShardedFluidTrainer:
     def make_chunk_fn(self, n_steps: int):
         """Compile `n_steps` fused SPMD train steps into one program.
 
-        Returns (state', records) where records arrays lead with the step
-        axis: finished/completed/ep_reward (n_steps, n_envs), mean_reward
-        (n_steps,)."""
+        Returns (state', packed) where packed is the SINGLE (5, n_steps,
+        n_envs) f32 record array (train.hooks.unpack_records row order):
+        one device->host RPC per chunk for the whole host accounting."""
 
         def chunk_local(state, ops, sens, akern, pool):
             def body(s, _):
@@ -507,8 +515,17 @@ class ShardedFluidTrainer:
         )
 
         def chunk(state: MCState):
-            return sharded(state, self.ops, self.sensor_kernels,
-                           self.actuator_kernels, self.pool)
+            state, recs = sharded(state, self.ops, self.sensor_kernels,
+                                  self.actuator_kernels, self.pool)
+            packed = jnp.stack([
+                recs["finished"].astype(jnp.float32),
+                recs["completed"].astype(jnp.float32),
+                recs["ep_reward"],
+                recs["errored"].astype(jnp.float32),
+                jnp.broadcast_to(recs["mean_reward"][:, None],
+                                 recs["finished"].shape),
+            ])
+            return state, packed
 
         return jax.jit(chunk, donate_argnums=0)
 
@@ -639,15 +656,17 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
     chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
 
     noise = float(state.agent.act_noise)
-    # One-chunk software pipeline, same as train_batched
-    # (train/batched.py): start ASYNC host copies of chunk n's records at
-    # dispatch time and consume them only after dispatching chunk n+1, so
-    # the per-array device->host RPCs (~20 ms each through the axon tunnel
-    # — latency-bound, the record arrays are tiny) overlap the next chunk's
-    # device compute instead of serializing with it. The pending chunk is
-    # drained at each loop boundary so reward clamping and the per-loop
-    # print see complete accounting.
-    pending = None
+    # DEEP software pipeline (deeper than train_batched, whose ~1 s chunks
+    # hide the RPC at depth 1): start the ASYNC host copy of chunk n's
+    # packed record array at dispatch time and consume it only after
+    # dispatching chunks n+1..n+depth, so the ~20-40 ms axon-tunnel RPC
+    # (latency-bound — the packed array is tiny) overlaps SEVERAL chunks of
+    # device compute. The depth-sweep measurement (ShardedTrainConfig.
+    # pipeline_depth note) flattens at depth 4 = the drain-at-end floor.
+    # Pending chunks are drained at each loop boundary so reward clamping
+    # and the per-loop print see complete accounting.
+    depth = max(1, tcfg.pipeline_depth)
+    pending: list = []
     for i in range(loops):
         state = state.replace(
             agent=state.agent.replace(act_noise=jnp.asarray(noise, jnp.float32)))
@@ -656,13 +675,13 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
         while steps < no_steps:
             state, recs = chunk_fn(state)
             start_host_copies(recs)
-            if pending is not None:
-                hook.feed_episode_records(pending)
-            pending = recs
+            pending.append(recs)
+            if len(pending) > depth:
+                hook.feed_episode_records(pending.pop(0))
             steps += tcfg.chunk_len
-        if pending is not None:
-            hook.feed_episode_records(pending)
-            pending = None
+        for recs in pending:
+            hook.feed_episode_records(recs)
+        pending.clear()
         if verbose:
             print(f"[{cfg.name} sharded {trainer.n_dp}x{trainer.n_sp}] "
                   f"loop {i + 1}/{loops} noise={noise:.4f} "

@@ -246,14 +246,25 @@ class BatchedTrainer:
     # ---------------------------------------------------------------- chunks
     def make_chunk_fn(self, n_steps: int, learn: bool = True):
         """Compile `n_steps` fused train steps into one program; returns the
-        new state and the per-step records (finished/completed/ep_reward:
-        (n_steps, n_envs); mean_reward: (n_steps,))."""
+        new state and the PACKED (5, n_steps, n_envs) f32 record array
+        (train.hooks.unpack_records row order; errored is all-zero — the
+        detector exists only in the sharded fluid family). One array means
+        ONE device->host RPC per chunk for the whole host accounting."""
 
         def chunk(ts: BatchedTrainState):
             def body(ts, _):
                 return self._train_step(ts, learn)
 
-            return jax.lax.scan(body, ts, None, length=n_steps)
+            ts, recs = jax.lax.scan(body, ts, None, length=n_steps)
+            shape = recs["finished"].shape
+            packed = jnp.stack([
+                recs["finished"].astype(jnp.float32),
+                recs["completed"].astype(jnp.float32),
+                recs["ep_reward"],
+                jnp.zeros(shape, jnp.float32),
+                jnp.broadcast_to(recs["mean_reward"][:, None], shape),
+            ])
+            return ts, packed
 
         return jax.jit(chunk, donate_argnums=0)
 
@@ -324,7 +335,10 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     """
     import numpy as _np
 
-    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+    from distributedconvrl_pde_control_tpu.train.hooks import (
+        PDEHook,
+        unpack_records,
+    )
 
     ts = trainer.init(key if key is not None else jax.random.PRNGKey(0))
     chunk_fn = trainer.make_chunk_fn(chunk_len)
@@ -345,8 +359,9 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     pending = None
 
     def _consume(recs):
-        hook.feed_episode_records(recs)
-        chunk_means.append(float(jnp.mean(recs["mean_reward"])))
+        rec = unpack_records(recs)
+        hook.feed_episode_records(rec)
+        chunk_means.append(float(rec["mean_reward"].mean()))
 
     while steps_done < total_steps:
         ts, recs = chunk_fn(ts)

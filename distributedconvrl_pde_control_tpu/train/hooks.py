@@ -21,6 +21,27 @@ import numpy as np
 
 from distributedconvrl_pde_control_tpu.utils.hostarray import to_numpy
 
+# Row order of the PACKED chunk-record array (5, n_steps, n_envs) f32.
+# Chunked trainers stack their per-step record fields into ONE device array
+# so the host accounting costs a single device->host RPC per chunk instead
+# of five (the ~20 ms axon-tunnel latency per array dominated the driver
+# overhead at small grids; PERFORMANCE.md "Pipelined chunk dispatch").
+REC_FINISHED, REC_COMPLETED, REC_EP_REWARD, REC_ERRORED, REC_MEAN_REWARD = range(5)
+
+
+def unpack_records(packed) -> dict:
+    """Packed (5, n_steps, n_envs) f32 chunk records -> the dict form
+    (bool masks finished/completed/errored, f32 ep_reward, and the
+    per-step mean_reward (n_steps,) — broadcast over envs when packed)."""
+    arr = np.asarray(packed)
+    return {
+        "finished": arr[REC_FINISHED] > 0.5,
+        "completed": arr[REC_COMPLETED] > 0.5,
+        "ep_reward": arr[REC_EP_REWARD],
+        "errored": arr[REC_ERRORED] > 0.5,
+        "mean_reward": arr[REC_MEAN_REWARD, :, 0],
+    }
+
 
 @dataclasses.dataclass
 class PDEHook:
@@ -77,13 +98,16 @@ class PDEHook:
             self.current_actor = agent_state.actor  # stays on device
 
     def feed_episode_records(self, recs) -> None:
-        """Append finished-episode rewards from a fused-chunk record dict
-        (keys finished/completed/ep_reward [+ optional errored], arrays
-        (n_steps, n_envs)) in step order — the host half of the PDEhook
-        accounting for the batched and sharded trainers, whose episodes
-        finish inside jitted chunks. An `errored` flag (device-side
+        """Append finished-episode rewards from a fused-chunk record — either
+        a dict (keys finished/completed/ep_reward [+ optional errored],
+        arrays (n_steps, n_envs)) or the PACKED single-array form
+        (`unpack_records`) — in step order. This is the host half of the
+        PDEhook accounting for the batched and sharded trainers, whose
+        episodes finish inside jitted chunks. An `errored` flag (device-side
         corrupted-field detection, FluidSetup.jl:263-273 semantics) records
         the episode index in `errored_episodes` (PDEhook.jl:78-82)."""
+        if not isinstance(recs, dict):
+            recs = unpack_records(recs)
         finished = np.asarray(recs["finished"])
         completed = np.asarray(recs["completed"])
         ep_reward = np.asarray(recs["ep_reward"])

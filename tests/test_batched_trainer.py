@@ -113,7 +113,7 @@ def test_pipelined_driver_matches_synchronous_accounting():
     loop over the same chunk stream."""
     import jax.numpy as jnp
 
-    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook, unpack_records
 
     trainer = make_trainer(n_envs=8)
     ts_p, hook_p, means_p = train_batched(
@@ -127,8 +127,9 @@ def test_pipelined_driver_matches_synchronous_accounting():
     means_s = []
     for _ in range(8):
         ts, recs = chunk_fn(ts)
-        hook_s.feed_episode_records(recs)
-        means_s.append(float(jnp.mean(recs["mean_reward"])))
+        rec = unpack_records(recs)
+        hook_s.feed_episode_records(rec)
+        means_s.append(float(rec["mean_reward"].mean()))
     hook_s.adopt_device_best(ts.best_reward, ts.best_episode, ts.best_actor)
 
     assert np.allclose(means_p, means_s)

@@ -131,6 +131,38 @@ def test_etdrk4_with_disturbance_matches_cnab2():
         np.abs(np.asarray(a) - np.asarray(b)).max()
 
 
+def test_etdrk4_nl_fft_mode_tier():
+    """nl_fft_mode plumbing: running the NONLINEAR evaluations at the
+    matmul_fast tier (1-pass bf16 on TPU; plain f32 matmul on CPU, where
+    Precision.DEFAULT is already f32) must reproduce the uniform-tier step
+    to the f32 floor — the correctness basis for the TPU throughput tier
+    (bf16 error enters scaled by the O(h) phi-weights; PERFORMANCE.md)."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.configs.ks import ks_standard_y0
+    from distributedconvrl_pde_control_tpu.ops.ks import KSSolverETDRK4
+
+    nx, lx, dt = 192, 22.0, 0.1
+    base = KSSolverETDRK4(nx=nx, lx=lx, dt=dt, oversampling=1, fft_mode="matmul")
+    tier = KSSolverETDRK4(nx=nx, lx=lx, dt=dt, oversampling=1, fft_mode="matmul",
+                          nl_fft_mode="matmul_fast")
+    y = jnp.asarray(ks_standard_y0(nx))[None]
+    f0 = jnp.zeros((1, nx), jnp.float32)
+    for _ in range(50):
+        y = base.step(y, f0)
+    a = np.asarray(base.step(y, f0))
+    b = np.asarray(tier.step(y, f0))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() / scale < 1e-5, np.abs(a - b).max() / scale
+    # and the config plumbing reaches the solver (env.step_fn is the bound
+    # method of the built KSSolverETDRK4)
+    from distributedconvrl_pde_control_tpu.configs.ks import KS22, build_ks
+    import dataclasses
+    s = build_ks(dataclasses.replace(KS22, stepper="etdrk4",
+                                     nl_fft_mode="matmul_fast"))
+    assert s.env.step_fn.__self__.nl_fft_mode == "matmul_fast"
+
+
 def test_coarse_grid_sensor_convergence():
     """KS22_64 tier (configs/ks.py): the reference's nx=192 for Lx=22 is
     ~4x over-resolved — on the coarse grid, the SENSOR OBSERVATIONS (the

@@ -202,8 +202,11 @@ def test_sharded_error_detection_2x4():
         w=jax.device_put(jnp.asarray(w), NamedSharding(mesh, tr._w_spec)))
     step = tr.make_chunk_fn(1)
     state, recs = step(state)
-    finished = np.asarray(recs["finished"])[0]
-    errored = np.asarray(recs["errored"])[0]
+    from distributedconvrl_pde_control_tpu.train.hooks import unpack_records
+
+    rec = unpack_records(recs)
+    finished = rec["finished"][0]
+    errored = rec["errored"][0]
     assert finished.tolist() == [True, True, False, False]
     assert errored.tolist() == [True, False, False, False]
 
