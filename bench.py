@@ -2,10 +2,12 @@
 
 Measures the fused training configuration (BASELINE.json config "Batched 1D
 KS: 256 vmapped envs, fused on-device rollout + gradient update"): per env
-step this runs the full KS22 physics (30 CNAB2 substeps = 60 transforms per
-env), the shared-policy forward over all 16384*8 actuator columns,
-exploration noise, 131k replay pushes, and one DDPG gradient update
-(batch 4096) — all inside a single jitted scan.
+step this advances the full KS22 physics on the reference's 192-point grid
+(via the validated ETDRK4 throughput stepper — the `KS22_tp` tier; the
+reference's CNAB2 does the same physics in 30 substeps), the shared-policy
+forward over all 16384*8 actuator columns, exploration noise, 131k replay
+pushes, and one DDPG gradient update (batch 4096) — all inside a single
+jitted scan.
 
 Baseline: the reference publishes no numbers (BASELINE.md); its north-star
 target is ">= 50x per-chip batched-env throughput vs the Julia reference".
@@ -74,10 +76,14 @@ def run_once():
     # throughput configuration (PERFORMANCE.md): matmul_hi DFTs (3-pass
     # bf16, 2.6e-5 rel/step) + the ETDRK4 stepper (exact linear part, ONE
     # step per env step at CNAB2@30-substep accuracy on attractor states;
-    # policies transfer across integrators — cross-eval verified). The
-    # fidelity presets keep the reference's CNAB2 at f32/HIGHEST.
+    # policies transfer across integrators — cross-eval verified) + 1-pass
+    # bf16 NONLINEAR transforms (error enters scaled by the O(h)
+    # phi-weights: 1.8e-4/step, 1.28x; the `_tp`-trained policy passes the
+    # standard-env gate at 0.58% suppression — RESULTS.md). This is the
+    # CLI `KS22_tp` tier. The fidelity presets keep CNAB2 at f32/HIGHEST.
     setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi",
-                                         stepper="etdrk4"))
+                                         stepper="etdrk4",
+                                         nl_fft_mode="matmul_fast"))
     trainer = BatchedTrainer(
         setup.env,
         setup.agent,

@@ -69,7 +69,17 @@ def keller_segel_config_for(name: str):
     }.get(name)
 
 
+# KS `_tp` tier = the measured single-chip THROUGHPUT configuration
+# (bench.py): ETDRK4 stepper + 3-pass-bf16 DFTs + 1-pass-bf16 nonlinear
+# transforms (error enters scaled by the O(h) phi-weights; 1.28x over
+# matmul_hi alone, accuracy ladder in PERFORMANCE.md). Policies trained
+# here are evaluated on the STANDARD fidelity env.
+_KS_TP = dict(stepper="etdrk4", fft_mode="matmul_hi", nl_fft_mode="matmul_fast")
+
+
 def build_setup(name: str):
+    import dataclasses
+
     from distributedconvrl_pde_control_tpu import configs as C
 
     builders = {
@@ -85,6 +95,11 @@ def build_setup(name: str):
         "KellerSegel10_16_fast": lambda: C.build_keller_segel(
             C.KELLER_SEGEL_10_16_FAST),
     }
+    for ks_name, ks_cfg in [("KS22", C.KS22), ("KS200", C.KS200),
+                            ("KS500", C.KS500), ("KS22_64", C.KS22_64)]:
+        builders[ks_name + "_tp"] = (
+            lambda c=ks_cfg, n=ks_name: C.build_ks(
+                dataclasses.replace(c, name=n + "_tp", **_KS_TP)))
     for fluid_name in ["Fluid_8", "Fluid_16", "Fluid_32", "Fluid_8_256",
                        "Fluid_16_256", "Fluid_16_256_fast",
                        "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",

@@ -88,3 +88,17 @@ def test_cli_coarse_preset_batched_train_cross_grid_eval(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["pre_control_mean_abs_dev"] > 0  # ran on the 192 grid
+
+
+def test_tp_tier_presets_build():
+    """KS `_tp` tier names (the bench.py throughput configuration: etdrk4 +
+    matmul_hi + 1-pass-bf16 nonlinear transforms) resolve for every KS
+    preset and carry the tier fields into the built solver."""
+    from distributedconvrl_pde_control_tpu.experiments.run import build_setup
+
+    for name in ("KS22_tp", "KS200_tp", "KS22_64_tp"):
+        setup = build_setup(name)
+        solver = setup.env.step_fn.__self__
+        assert type(solver).__name__ == "KSSolverETDRK4", name
+        assert solver.fft_mode == "matmul_hi", name
+        assert solver.nl_fft_mode == "matmul_fast", name
