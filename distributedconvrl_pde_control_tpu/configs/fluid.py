@@ -46,6 +46,10 @@ class FluidConfig:
     # measured opt-ins — the adaptive stepper's tol-1e0 floor dwarfs both
     # tiers' error (PERFORMANCE.md precision study)
     fft_mode: str = "auto"
+    # transform tier for the ADVECTION evaluations inside the RK stages
+    # only (error enters scaled by dt_os; ops/navier_stokes.py
+    # nl_fft_mode note). None = fft_mode everywhere.
+    nl_fft_mode: str | None = None
     adaptive: bool = False  # do_step2 semantics: adaptive RK4, tol 1e0
     adaptive_tol: float = 1.0  # FluidSetup.jl:179
     # fixed-step scheme when adaptive=False: "rk4" = the reference's do_step
@@ -222,7 +226,7 @@ def fluid_agent_config(cfg: FluidConfig, obs_dim: int, capacity: int | None = No
 def build_fluid(cfg: FluidConfig = FLUID_8) -> Setup:
     n = cfg.grid_nx
     solver = NSSolver(nx=n, ny=n, lx=cfg.lx, ly=cfg.lx, nu=cfg.nu, dealias=cfg.dealias,
-                      fft_mode=cfg.fft_mode)
+                      fft_mode=cfg.fft_mode, nl_fft_mode=cfg.nl_fft_mode)
     n_act = cfg.sensors_per_axis**2
     sensors, actuators = fluid_kernels(cfg)
     sensor_matrix = jnp.asarray(sensors.reshape(n_act, -1), jnp.float32)

@@ -21,11 +21,16 @@ import numpy as np
 # single-chip and --mesh paths — the round-2 advisor flagged the two
 # hand-maintained copies drifting):
 #   _fast      = integrating-factor RK4 throughput tier (PERFORMANCE.md ladder)
+#   _tp        = _fast + bf16 transform tiers (3-pass everywhere, 1-pass on
+#                the advection evaluations — error enters scaled by dt_os;
+#                PERFORMANCE.md nl-tier ladder); quality-gated like _fast
 #   _fixedstep = the reference's do_step fixed-step RK4 (FluidSetup.jl:163-172;
 #                presets default to the installed adaptive do_step2, :333)
 #   _eval      = evaluation protocol (nx=256, seed 76; FluidSetup.jl:32-37)
 _FLUID_TIERS = {
     "_fast": dict(adaptive=False, stepper="ifrk4"),
+    "_tp": dict(adaptive=False, stepper="ifrk4", fft_mode="matmul_hi",
+                nl_fft_mode="matmul_fast"),
     "_fixedstep": dict(adaptive=False),
     "_eval": dict(evaluation=True),
 }
@@ -104,6 +109,8 @@ def build_setup(name: str):
                        "Fluid_16_256", "Fluid_16_256_fast",
                        "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",
                        "Fluid_8_256_fast", "Fluid_8_fixedstep",
+                       "Fluid_8_tp", "Fluid_16_tp", "Fluid_32_tp",
+                       "Fluid_8_256_tp",
                        "Fluid_8_eval", "Fluid_16_eval", "Fluid_32_eval"]:
         builders[fluid_name] = (
             lambda n=fluid_name: C.build_fluid(fluid_config_for(n)))

@@ -45,6 +45,14 @@ class NSSolver:
     nu: float = 5e-5
     dealias: bool = True
     fft_mode: str = "auto"  # part of the jit key
+    # Transform tier for the ADVECTION evaluations inside the RK stages
+    # (the 5-transform collocation in `_advection_ri`; the boundary
+    # transforms — initial/forcing forward, final inverse — keep
+    # `fft_mode`). Every stage result is multiplied by O(dt_os) RK weights
+    # before it reaches the state, so a cheaper tier's error enters scaled
+    # by dt_os — the 2D analog of the KS ETDRK4 `nl_fft_mode`
+    # (ops/ks.py; accuracy ladder in PERFORMANCE.md). None = fft_mode.
+    nl_fft_mode: str | None = None
     # Hermitian half-spectrum (kx >= 0) halves flops in exact arithmetic but
     # LOSES on TPU at these sizes: nx//2+1 is odd, so every (ny, nxh) tensor
     # pads to the 128-lane tile anyway and the savings evaporate while the
@@ -181,15 +189,17 @@ class NSSolver:
                     self.k2[:, :nxh], self.inv_k2[:, :nxh])
         return (self.kx_row, self.ky_col, self.k2, self.inv_k2)
 
-    def _fwd_ri(self, x_real):
+    def _fwd_ri(self, x_real, mode: str | None = None):
+        mode = mode or self.fft_mode
         if self.half_spectrum:
-            return fourier.rfft2_ri(x_real, mode=self.fft_mode)
-        return fourier.fft2_ri(x_real, None, mode=self.fft_mode)
+            return fourier.rfft2_ri(x_real, mode=mode)
+        return fourier.fft2_ri(x_real, None, mode=mode)
 
-    def _inv_ri_real(self, zr, zi, nx):
+    def _inv_ri_real(self, zr, zi, nx, mode: str | None = None):
+        mode = mode or self.fft_mode
         if self.half_spectrum:
-            return fourier.irfft2_ri_real(zr, zi, nx, mode=self.fft_mode)
-        return fourier.ifft2_ri_real(zr, zi, mode=self.fft_mode)
+            return fourier.irfft2_ri_real(zr, zi, nx, mode=mode)
+        return fourier.ifft2_ri_real(zr, zi, mode=mode)
 
     def _pad(self, z, nyp, nxp):
         return pad_32_half(z, nyp, nxp) if self.half_spectrum else pad_32(z, nyp, nxp)
@@ -210,23 +220,25 @@ class NSSolver:
         vr, vi = kx * pi, -kx * pr
         ur, ui = -ky * pi, ky * pr
 
+        nl = self.nl_fft_mode or self.fft_mode
         if self.dealias:
             nxp, nyp = 3 * self.nx // 2, 3 * self.ny // 2
 
             def to_padded_real(ar, ai):
-                return self._inv_ri_real(self._pad(ar, nyp, nxp), self._pad(ai, nyp, nxp), nxp)
+                return self._inv_ri_real(self._pad(ar, nyp, nxp),
+                                         self._pad(ai, nyp, nxp), nxp, mode=nl)
 
             up = to_padded_real(ur, ui)
             vp = to_padded_real(vr, vi)
             dwdxp = to_padded_real(dxr, dxi)
             dwdyp = to_padded_real(dyr, dyi)
-            tr, ti = self._fwd_ri(-up * dwdxp - vp * dwdyp)
+            tr, ti = self._fwd_ri(-up * dwdxp - vp * dwdyp, mode=nl)
             return self._chop(tr) * 2.25, self._chop(ti) * 2.25
-        u = self._inv_ri_real(ur, ui, self.nx)
-        v = self._inv_ri_real(vr, vi, self.nx)
-        dwdx = self._inv_ri_real(dxr, dxi, self.nx)
-        dwdy = self._inv_ri_real(dyr, dyi, self.nx)
-        return self._fwd_ri(-u * dwdx - v * dwdy)
+        u = self._inv_ri_real(ur, ui, self.nx, mode=nl)
+        v = self._inv_ri_real(vr, vi, self.nx, mode=nl)
+        dwdx = self._inv_ri_real(dxr, dxi, self.nx, mode=nl)
+        dwdy = self._inv_ri_real(dyr, dyi, self.nx, mode=nl)
+        return self._fwd_ri(-u * dwdx - v * dwdy, mode=nl)
 
     def _rhs_ri(self, wr, wi, fr, fi):
         k2h = self._ri_ops[2]

@@ -160,7 +160,10 @@ class ShardedFluidTrainer:
         self.n = n
         assert n % self.n_sp == 0, "grid must divide over sp"
         assert tcfg.n_envs % self.n_dp == 0, "env batch must divide over dp"
-        self.solver = NSShardedSolverRI(nu=cfg.nu, sp_axis="sp")
+        self.solver = NSShardedSolverRI(
+            nu=cfg.nu, sp_axis="sp",
+            fft_mode=getattr(cfg, "fft_mode", "auto"),
+            nl_fft_mode=getattr(cfg, "nl_fft_mode", None))
         self.ops = make_sharded_ops(n, n, cfg.lx, cfg.lx)
 
         n_act = cfg.sensors_per_axis**2

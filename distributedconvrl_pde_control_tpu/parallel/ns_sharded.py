@@ -110,6 +110,9 @@ class NSShardedSolverRI:
     nu: float
     sp_axis: str
     fft_mode: str = "auto"
+    # Advection-only transform tier (error enters scaled by dt_os), the
+    # sharded twin of NSSolver.nl_fft_mode (ops/navier_stokes.py).
+    nl_fft_mode: str | None = None
 
     def _advection_ri(self, wr, wi, ops: ShardedOps):
         from distributedconvrl_pde_control_tpu.parallel.dfft import (
@@ -117,16 +120,17 @@ class NSShardedSolverRI:
             difft2_ri_real,
         )
 
+        nl = self.nl_fft_mode or self.fft_mode
         pr, pi = ops.inv_k2 * wr, ops.inv_k2 * wi
         dxr, dxi = -ops.kx * wi, ops.kx * wr
         dyr, dyi = -ops.ky * wi, ops.ky * wr
         vr, vi = ops.kx * pi, -ops.kx * pr
         ur, ui = -ops.ky * pi, ops.ky * pr
-        u = difft2_ri_real(ur, ui, self.sp_axis, self.fft_mode)
-        v = difft2_ri_real(vr, vi, self.sp_axis, self.fft_mode)
-        dwdx = difft2_ri_real(dxr, dxi, self.sp_axis, self.fft_mode)
-        dwdy = difft2_ri_real(dyr, dyi, self.sp_axis, self.fft_mode)
-        nr, ni = dfft2_ri(-u * dwdx - v * dwdy, None, self.sp_axis, self.fft_mode)
+        u = difft2_ri_real(ur, ui, self.sp_axis, nl)
+        v = difft2_ri_real(vr, vi, self.sp_axis, nl)
+        dwdx = difft2_ri_real(dxr, dxi, self.sp_axis, nl)
+        dwdy = difft2_ri_real(dyr, dyi, self.sp_axis, nl)
+        nr, ni = dfft2_ri(-u * dwdx - v * dwdy, None, self.sp_axis, nl)
         return nr * ops.mask23, ni * ops.mask23
 
     def _rhs_ri(self, wr, wi, fr, fi, ops):

@@ -102,3 +102,10 @@ def test_tp_tier_presets_build():
         assert type(solver).__name__ == "KSSolverETDRK4", name
         assert solver.fft_mode == "matmul_hi", name
         assert solver.nl_fft_mode == "matmul_fast", name
+    # the fluid twin resolves through the suffix-tier table
+    from distributedconvrl_pde_control_tpu.experiments.run import fluid_config_for
+
+    c = fluid_config_for("Fluid_8_tp")
+    assert (c.stepper, c.fft_mode, c.nl_fft_mode) == (
+        "ifrk4", "matmul_hi", "matmul_fast")
+    assert build_setup("Fluid_8_tp") is not None

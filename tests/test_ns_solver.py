@@ -170,3 +170,32 @@ def test_step_real_half_spectrum_matches_complex_path():
                 s.step_real(jnp.asarray(omg), jnp.asarray(f_real, jnp.float32), 0.01, 4)
             )
             assert np.allclose(got, want, atol=2e-4), (dealias, half, np.abs(got - want).max())
+
+
+def test_nl_fft_mode_tier_plumbing():
+    """nl_fft_mode (1-pass-bf16 ADVECTION transforms on TPU; plain f32
+    matmul on CPU where Precision.DEFAULT is f32) must reproduce the
+    uniform-tier IF-RK4 step to the f32 floor, and the config field must
+    reach the built solver — the correctness basis for the fluid
+    throughput tier (error enters scaled by dt_os; PERFORMANCE.md)."""
+    import dataclasses
+
+    n = 64
+    rng = np.random.default_rng(6)
+    base = NSSolver(nx=n, ny=n, nu=5e-5, dealias=True, fft_mode="matmul")
+    tier = NSSolver(nx=n, ny=n, nu=5e-5, dealias=True, fft_mode="matmul",
+                    nl_fft_mode="matmul_fast")
+    omg = jnp.asarray(np.fft.ifft2(initial_condition(3, n, n, 1.0, 1.0, rng)).real,
+                      jnp.float32)
+    zero = jnp.zeros((n, n), jnp.float32)
+    for _ in range(5):
+        omg = base.step_real(omg, zero, 0.02, 10)
+    a = np.asarray(base.step_real_if(omg, zero, 0.02, 8))
+    b = np.asarray(tier.step_real_if(omg, zero, 0.02, 8))
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+    from distributedconvrl_pde_control_tpu.configs.fluid import FLUID_8, build_fluid
+    cfg = dataclasses.replace(FLUID_8, adaptive=False, stepper="ifrk4",
+                              nl_fft_mode="matmul_fast")
+    setup = build_fluid(cfg)
+    assert setup.env.step_fn.__closure__ is not None  # built without error
