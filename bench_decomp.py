@@ -14,7 +14,8 @@ from distributedconvrl_pde_control_tpu.train.batched import (
     BatchedTrainer, BatchedTrainerConfig)
 
 N = 16384
-setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi", stepper="etdrk4"))
+setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi", stepper="etdrk4",
+                                     nl_fft_mode="matmul_fast"))
 
 
 def timed(label, trainer, learn, chunks=5, chunk_len=50):

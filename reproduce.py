@@ -53,6 +53,13 @@ def main():
     setup, actor = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22")
     print(json.dumps({"row": "KS22 stabilization", **suppression(setup, actor, 200.0, 100.0)}))
 
+    # --- KS22 `_tp` throughput-tier artifact (trained on the full bench
+    # tier: etdrk4 + matmul_hi + 1-pass-bf16 nonlinear transforms),
+    # evaluated on the STANDARD fidelity env — the nl-tier quality gate
+    setup, actor_tp = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22_tp")
+    print(json.dumps({"row": "KS22_tp (throughput-tier-trained) stabilization",
+                      **suppression(setup, actor_tp, 200.0, 100.0)}))
+
     # --- zero-shot transfers from the KS200 artifacts (fidelity + batched)
     _, actor200 = load_actor(lambda: C.build_ks(C.KS200), "artifacts/KS200")
     s500 = C.build_ks(C.KS500)
@@ -91,6 +98,7 @@ def main():
 
     for name, builder in [("Fluid_8", lambda: C.build_fluid(C.FLUID_8)),
                           ("Fluid_8_batched", lambda: C.build_fluid(C.FLUID_8)),
+                          ("Fluid_8_tp", lambda: C.build_fluid(C.FLUID_8)),
                           ("Fluid_16", lambda: C.build_fluid(C.FLUID_16)),
                           ("Fluid_32", lambda: C.build_fluid(C.FLUID_32))]:
         setup, actor = load_actor(builder, f"artifacts/{name}")

@@ -260,3 +260,30 @@ def test_shipped_ks200_batched_artifact_stabilizes_and_transfers():
     pre = np.abs(y[200:300]).mean()
     post = np.abs(y[-60:]).mean()
     assert post < 0.1 * pre, (pre, post)
+
+
+def test_shipped_tp_tier_artifact_stabilizes():
+    """The `_tp` throughput-tier artifact (artifacts/KS22_tp — trained on
+    the full bench configuration: ETDRK4 + matmul_hi + 1-pass-bf16
+    nonlinear transforms) must stabilize the STANDARD fidelity env — the
+    checked-in quality gate behind shipping nl_fft_mode in bench.py
+    (PERFORMANCE.md nl-tier ladder)."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22_tp")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS22)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.1 * pre, (pre, post)
