@@ -54,7 +54,8 @@ def _setup_backend(virtual: int | None):
 
 
 def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
-                steps: int, chunk_len: int, batch_size: int) -> dict:
+                steps: int, chunk_len: int, batch_size: int,
+                tier: str = "rk4") -> dict:
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from jax import shard_map
 
@@ -75,6 +76,12 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
     # stepper, so the default FLUID_8 would otherwise run do_step2).
     dt = (oversampling + 0.5) / (16.0 * nx)
     cfg = dataclasses.replace(FLUID_8, nx=nx, dt=dt, te=1000.0 * dt, adaptive=False)
+    if tier == "tp":
+        # the throughput tier (run.py `_tp`): IF-RK4 at oversampling/4
+        # substeps + 3-pass bf16 DFTs + 1-pass bf16 advection transforms
+        cfg = dataclasses.replace(cfg, stepper="ifrk4",
+                                  fft_mode="matmul_hi",
+                                  nl_fft_mode="matmul_fast")
     assert cfg.oversampling == oversampling
     tcfg = ShardedTrainConfig(n_envs=n_envs, batch_size=batch_size,
                               capacity_per_dp=50_000, y0_pool_size=2,
@@ -141,7 +148,10 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
 
     # ---- collective estimate: the transform transpose alone, on the real
     # message shape (2, Bl, ny, nx/S) — parallel/dfft._transpose_ri
-    n_transforms = 3 + 20 * oversampling
+    # (tp tier: ifrk4 runs oversampling/4 substeps, same 20 transforms per
+    # substep)
+    n_sub = cfg.fast_oversampling_eff if tier == "tp" else oversampling
+    n_transforms = 3 + 20 * n_sub
     coll_ms = 0.0
     if sp > 1:
         bl = n_envs // dp
@@ -171,6 +181,7 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
     step_ms = dt_step * 1000.0
     return {
         "metric": "sharded_fluid_train_step",
+        "tier": tier,
         "mesh": mesh_spec,
         "nx": nx,
         "n_envs": n_envs,
@@ -196,13 +207,17 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--virtual", type=int, default=None,
                     help="run on N virtual CPU devices")
+    ap.add_argument("--tier", default="rk4", choices=("rk4", "tp"),
+                    help="solver tier: the fixed-step rk4 program (default, "
+                         "comparable across rounds) or the run.py `_tp` "
+                         "throughput tier (ifrk4 + bf16 transform tiers)")
     args = ap.parse_args(argv)
     _setup_backend(args.virtual)
 
     for spec in args.meshes.split(","):
         point = bench_point(spec.strip(), args.nx, args.n_envs,
                             args.oversampling, args.steps, args.chunk_len,
-                            args.batch_size)
+                            args.batch_size, tier=args.tier)
         print(json.dumps(point), flush=True)
 
 
