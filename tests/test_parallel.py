@@ -481,7 +481,11 @@ def test_multichip_stepper_dispatch():
     tcfg = ShardedTrainConfig(n_envs=4, batch_size=8, capacity_per_dp=1024,
                               y0_pool_size=2)
     for over in (dict(adaptive=False),
-                 dict(adaptive=False, stepper="ifrk4", fast_oversampling=2)):
+                 dict(adaptive=False, stepper="ifrk4", fast_oversampling=2),
+                 # the `_tp` tier: bf16 transform tiers through shard_map
+                 # (on CPU both tiers are f32 — this pins the plumbing)
+                 dict(adaptive=False, stepper="ifrk4", fast_oversampling=2,
+                      fft_mode="matmul_hi", nl_fft_mode="matmul_fast")):
         cfg = _tiny_fluid_cfg(**over)
         tr = ShardedFluidTrainer(cfg, mesh, tcfg)
         state = tr.init(jax.random.PRNGKey(0))
