@@ -125,8 +125,14 @@ def main():
     )
 
     backoff_s = float(os.environ.get("BENCH_RETRY_BACKOFF_S", "10.0"))
+    # per-attempt hang watchdog: a wedged tunnel can BLOCK jax.devices()
+    # for many minutes (observed r03) — bound each attempt so the fallback
+    # JSON line is still emitted. Generous default: a cold compile of the
+    # bench program takes minutes on the axon remote compiler.
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
     try:
-        best_rate = run_with_backend_retry(run_once, attempts=3, backoff_s=backoff_s)
+        best_rate = run_with_backend_retry(run_once, attempts=3, backoff_s=backoff_s,
+                                           watchdog_s=watchdog_s)
     except Exception as e:
         print(json.dumps({
             "metric": METRIC,

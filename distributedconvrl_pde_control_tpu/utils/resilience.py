@@ -48,19 +48,47 @@ def run_with_backend_retry(
     backoff_s: float = 10.0,
     sleep: Callable[[float], None] = time.sleep,
     reset: Callable[[], None] = reset_backend,
+    watchdog_s: float | None = None,
 ) -> T:
     """Run ``fn()`` with up to ``attempts`` tries, resetting the backend between.
 
     Backoff is linear: ``backoff_s * attempt_index`` seconds after attempt i
     fails (no sleep after the last failure). Re-raises the final exception if
     every attempt fails; KeyboardInterrupt/SystemExit always propagate.
+
+    ``watchdog_s`` arms a SIGALRM timer around each attempt (main thread,
+    POSIX): a wedged axon tunnel HANGS ``jax.devices()``/compiles outright
+    (observed: a device query blocked >5 min) rather than raising, which
+    no except-clause can catch — the alarm converts the hang into a
+    ``TimeoutError`` so it becomes a retryable attempt failure and the
+    caller still emits its one-line JSON instead of tripping the outer
+    driver's timeout with no output at all.
     """
     if attempts < 1:
         raise ValueError("attempts must be >= 1")
+
+    def attempt() -> T:
+        if watchdog_s is None:
+            return fn()
+        import signal
+
+        def on_alarm(signum, frame):
+            raise TimeoutError(
+                f"attempt exceeded the {watchdog_s:.0f}s watchdog "
+                f"(wedged backend/tunnel)")
+
+        prev = signal.signal(signal.SIGALRM, on_alarm)
+        signal.setitimer(signal.ITIMER_REAL, watchdog_s)
+        try:
+            return fn()
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0.0)
+            signal.signal(signal.SIGALRM, prev)
+
     last: Exception | None = None
     for i in range(attempts):
         try:
-            return fn()
+            return attempt()
         except (KeyboardInterrupt, SystemExit):
             raise
         except Exception as e:

@@ -136,3 +136,47 @@ def test_pipelined_driver_matches_synchronous_accounting():
     assert hook_p.rewards == hook_s.rewards
     assert hook_p.ep == hook_s.ep
     assert hook_p.bestreward == hook_s.bestreward
+
+
+def test_packed_record_roundtrip():
+    """unpack_records inverts the chunk packers' row layout exactly,
+    including bool thresholds and the broadcast mean_reward row."""
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.train.hooks import (
+        REC_COMPLETED,
+        REC_EP_REWARD,
+        REC_ERRORED,
+        REC_FINISHED,
+        REC_MEAN_REWARD,
+        unpack_records,
+    )
+
+    rng = np.random.default_rng(0)
+    n_steps, n_envs = 7, 5
+    fin = rng.random((n_steps, n_envs)) < 0.3
+    comp = np.logical_and(fin, rng.random((n_steps, n_envs)) < 0.5)
+    err = np.logical_and(fin, np.logical_not(comp))
+    ep_r = rng.normal(size=(n_steps, n_envs)).astype(np.float32)
+    mean_r = rng.normal(size=(n_steps,)).astype(np.float32)
+    packed = np.zeros((5, n_steps, n_envs), np.float32)
+    packed[REC_FINISHED] = fin
+    packed[REC_COMPLETED] = comp
+    packed[REC_ERRORED] = err
+    packed[REC_EP_REWARD] = ep_r
+    packed[REC_MEAN_REWARD] = mean_r[:, None]
+    rec = unpack_records(packed)
+    assert np.array_equal(rec["finished"], fin)
+    assert np.array_equal(rec["completed"], comp)
+    assert np.array_equal(rec["errored"], err)
+    assert np.allclose(rec["ep_reward"], ep_r)
+    assert np.allclose(rec["mean_reward"], mean_r)
+    # and the hook consumes the packed form identically to the dict form
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+
+    h1, h2 = PDEHook(), PDEHook()
+    h1.feed_episode_records(packed)
+    h2.feed_episode_records(rec)
+    assert h1.rewards == h2.rewards
+    assert h1.rewards_compare == h2.rewards_compare
+    assert h1.errored_episodes == h2.errored_episodes

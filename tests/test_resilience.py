@@ -113,3 +113,36 @@ def test_bench_emits_error_json_when_all_attempts_fail():
     assert out["vs_baseline"] == 0.0
     assert "JaxRuntimeError" in out["error"]
     assert "FAILED_PRECONDITION" in out["error"]
+
+
+def test_watchdog_converts_hang_into_retryable_failure():
+    """A HANGING attempt (wedged tunnel blocking in a syscall) must be cut
+    by the SIGALRM watchdog and become an ordinary retryable failure — the
+    r03 observed mode where jax.devices() blocked >5 min raising nothing."""
+    import time as _time
+
+    calls = []
+
+    def hang_once_then_succeed():
+        calls.append(1)
+        if len(calls) == 1:
+            _time.sleep(30)  # "hang" far past the watchdog
+        return "ok"
+
+    out = run_with_backend_retry(
+        hang_once_then_succeed, attempts=2, backoff_s=0.0,
+        sleep=lambda s: None, reset=lambda: None, watchdog_s=0.5)
+    assert out == "ok"
+    assert len(calls) == 2
+
+
+def test_watchdog_timeout_exhausts_attempts_with_timeouterror():
+    def always_hangs():
+        import time as _time
+
+        _time.sleep(30)
+
+    with pytest.raises(TimeoutError):
+        run_with_backend_retry(always_hangs, attempts=2, backoff_s=0.0,
+                               sleep=lambda s: None, reset=lambda: None,
+                               watchdog_s=0.3)
