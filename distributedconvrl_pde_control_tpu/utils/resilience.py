@@ -71,6 +71,13 @@ def run_with_backend_retry(
         if watchdog_s is None:
             return fn()
         import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            # SIGALRM handlers can only be installed from the main thread
+            # (the driver may call entry() from a worker) — degrade to the
+            # unbounded behavior rather than raising.
+            return fn()
 
         def on_alarm(signum, frame):
             raise TimeoutError(
