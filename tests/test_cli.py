@@ -109,3 +109,23 @@ def test_tp_tier_presets_build():
     assert (c.stepper, c.fft_mode, c.nl_fft_mode) == (
         "ifrk4", "matmul_hi", "matmul_fast")
     assert build_setup("Fluid_8_tp") is not None
+
+
+def test_serve_probe_smoke():
+    """The closed-loop serving probe (experiments/serve.py): loads the
+    shipped artifact, compiles the minimal obs->action program, and prints
+    ONE JSON line with latency percentiles + headroom."""
+    import subprocess
+    import sys
+
+    art = os.path.join(REPO, "artifacts", "KS22")
+    if not os.path.exists(os.path.join(art, "saves")):
+        pytest.skip("artifact not present")
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "distributedconvrl_pde_control_tpu.experiments.serve",
+         "KS22", "--load-from", art, "--cpu", "--steps", "5"],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["latency_ms_p50"] > 0 and stats["headroom_x"] > 0
