@@ -153,14 +153,28 @@ class BatchedTrainer:
 
         # auto-reset finished episodes with fresh initial conditions FIRST:
         # the post-reset flat obs doubles as this step's replay `sn` (below)
-        # and the next step's policy input/`s`
+        # and the next step's policy input/`s`. Episodes are TIME-
+        # SYNCHRONIZED (every env starts at t0 and finishes after te/dt
+        # steps; blow-ups are the rare exception), so `done` is all-false on
+        # all but the episode-boundary steps — the whole reset bucket
+        # (fresh-state generation AND the B-wide tree select) runs under a
+        # lax.cond and is skipped on the common path. Bitwise-identical to
+        # the unconditional version: the select is the identity when no env
+        # is done, and k_reset comes from a per-step split (not sequential
+        # consumption), so reset draws on boundary steps are unchanged.
         done = new_estates.done
-        fresh = self._fresh_states(k_reset, B)
 
-        def pick(f, n):
-            return jnp.where(done.reshape((B,) + (1,) * (n.ndim - 1)), f, n)
+        def do_reset(op):
+            states, k = op
+            fresh = self._fresh_states(k, B)
 
-        estates = jax.tree.map(pick, fresh, new_estates)
+            def pick(f, n):
+                return jnp.where(done.reshape((B,) + (1,) * (n.ndim - 1)), f, n)
+
+            return jax.tree.map(pick, fresh, states)
+
+        estates = jax.lax.cond(jnp.any(done), do_reset, lambda op: op[0],
+                               (new_estates, k_reset))
         new_obs_flat = jnp.moveaxis(estates.obs, 0, 1).reshape(acfg.ns, B * n_act)
 
         # push B*n_act transitions. `sn` is the POST-reset observation: for
