@@ -121,6 +121,7 @@ def main():
     re-init; if every attempt fails, still emit ONE parseable JSON line with
     an `error` field instead of a traceback."""
     from distributedconvrl_pde_control_tpu.utils.resilience import (
+        arm_hard_deadline,
         run_with_backend_retry,
     )
 
@@ -130,10 +131,24 @@ def main():
     # JSON line is still emitted. Generous default: a cold compile of the
     # bench program takes minutes on the axon remote compiler.
     watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
+    # ... and the SIGALRM alarm cannot interrupt a hang parked inside a C
+    # call (handlers run between bytecodes), so a daemon-thread HARD
+    # deadline guarantees the one-line JSON no matter where the process is
+    # stuck. Budget: 3 watchdog-bounded attempts + resets + backoff.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", str(3 * watchdog_s + 600)))
+    deadline = arm_hard_deadline(deadline_s, lambda: print(json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "env_steps/s",
+        "vs_baseline": 0.0,
+        "error": f"TimeoutError: bench exceeded the {deadline_s:.0f}s hard "
+                 "deadline (wedged backend/tunnel blocked in a C call)",
+    })))
     try:
         best_rate = run_with_backend_retry(run_once, attempts=3, backoff_s=backoff_s,
                                            watchdog_s=watchdog_s)
     except Exception as e:
+        deadline.cancel()
         print(json.dumps({
             "metric": METRIC,
             "value": 0.0,
@@ -143,6 +158,7 @@ def main():
         }))
         sys.exit(0)
 
+    deadline.cancel()
     print(json.dumps({
         "metric": METRIC,
         "value": round(best_rate, 1),

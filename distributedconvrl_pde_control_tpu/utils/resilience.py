@@ -41,6 +41,37 @@ def reset_backend() -> None:
         print(f"[resilience] backend reset failed (continuing): {e!r}", file=sys.stderr)
 
 
+def arm_hard_deadline(total_s: float, on_timeout: Callable[[], None]):
+    """Last-resort liveness guarantee for unattended entry points.
+
+    The SIGALRM watchdog in ``run_with_backend_retry`` only fires between
+    Python bytecodes — a thread blocked inside a C extension call (the
+    observed wedged-axon mode: ``jax.devices()`` parked in a gRPC wait)
+    defers the handler indefinitely, so the alarm alone cannot guarantee
+    output. This arms a DAEMON TIMER THREAD that, after ``total_s``
+    seconds, runs ``on_timeout()`` (e.g. print the one-line JSON fallback)
+    and hard-exits the process with status 0. Blocking C calls release the
+    GIL around I/O, so the timer thread still runs while the main thread
+    is stuck.
+
+    Returns the timer; call ``.cancel()`` on success.
+    """
+    import os
+    import threading
+
+    def fire():  # pragma: no cover - exercised via subprocess tests
+        try:
+            on_timeout()
+            sys.stdout.flush()
+        finally:
+            os._exit(0)
+
+    timer = threading.Timer(total_s, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def run_with_backend_retry(
     fn: Callable[[], T],
     *,
@@ -67,9 +98,9 @@ def run_with_backend_retry(
     if attempts < 1:
         raise ValueError("attempts must be >= 1")
 
-    def attempt() -> T:
-        if watchdog_s is None:
-            return fn()
+    def bounded(f: Callable[[], T], limit_s: float | None, what: str) -> T:
+        if limit_s is None:
+            return f()
         import signal
         import threading
 
@@ -77,25 +108,41 @@ def run_with_backend_retry(
             # SIGALRM handlers can only be installed from the main thread
             # (the driver may call entry() from a worker) — degrade to the
             # unbounded behavior rather than raising.
-            return fn()
+            return f()
 
         def on_alarm(signum, frame):
             raise TimeoutError(
-                f"attempt exceeded the {watchdog_s:.0f}s watchdog "
+                f"{what} exceeded the {limit_s:.0f}s watchdog "
                 f"(wedged backend/tunnel)")
 
         prev = signal.signal(signal.SIGALRM, on_alarm)
-        signal.setitimer(signal.ITIMER_REAL, watchdog_s)
+        signal.setitimer(signal.ITIMER_REAL, limit_s)
         try:
-            return fn()
+            return f()
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0.0)
             signal.signal(signal.SIGALRM, prev)
 
+    # the between-attempt backend reset re-queries jax.devices(), which a
+    # wedged tunnel can BLOCK just like an attempt (observed r03: the
+    # simulated-failure bench test hung in reset_backend, not in run_once) —
+    # bound it too, and treat a reset timeout as best-effort like any other
+    # reset failure
+    reset_limit_s = None if watchdog_s is None else min(watchdog_s, 120.0)
+
+    def bounded_reset() -> None:
+        try:
+            bounded(reset, reset_limit_s, "backend reset")
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as e:
+            print(f"[resilience] backend reset failed (continuing): {e!r}",
+                  file=sys.stderr)
+
     last: Exception | None = None
     for i in range(attempts):
         try:
-            return attempt()
+            return bounded(fn, watchdog_s, "attempt")
         except (KeyboardInterrupt, SystemExit):
             raise
         except Exception as e:
@@ -107,7 +154,7 @@ def run_with_backend_retry(
             )
             if i + 1 == attempts:
                 break
-            reset()
+            bounded_reset()
             sleep(backoff_s * (i + 1))
     assert last is not None
     raise last
