@@ -91,3 +91,34 @@ orig_push = B.replay_push_flat
 B.replay_push_flat = lambda buf, *a, **k: buf
 timed("no replay push (nolearn)", trainer, learn=False)
 B.replay_push_flat = orig_push
+
+# (c) driver-in-loop: consume the packed records every chunk exactly like
+# train_batched (depth-1 pipeline: dispatch chunk n+1, then unpack + feed
+# chunk n through the hook) — measures the PRODUCT training loop including
+# the (5, 50, N) f32 device->host record RPC, not just the chunk program
+from distributedconvrl_pde_control_tpu.train.hooks import PDEHook, unpack_records
+from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
+
+
+def timed_driver(label, trainer, chunks=5, chunk_len=50):
+    ts = trainer.init(jax.random.PRNGKey(1))
+    chunk = trainer.make_chunk_fn(chunk_len)
+    hook = PDEHook(collect_best_trace=False)
+    ts, recs = chunk(ts)
+    jax.block_until_ready(recs)
+    pending = None
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        ts, recs = chunk(ts)
+        start_host_copies(recs)
+        if pending is not None:
+            hook.feed_episode_records(unpack_records(pending))
+        pending = recs
+    hook.feed_episode_records(unpack_records(pending))
+    jax.block_until_ready(ts.total_env_steps)
+    rate = chunks * chunk_len * N / (time.perf_counter() - t0)
+    print(f"{label}: {rate/1e6:7.2f}M env steps/s", flush=True)
+    return rate
+
+
+timed_driver("driver-in-loop (records)  ", trainer)
