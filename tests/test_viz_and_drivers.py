@@ -31,8 +31,9 @@ def test_plot_functions_write_files(short_traces, tmp_path):
     plotting.plot_sensors(k, str(tmp_path / "kernels.png"))
     plotting.plot_reward_landscape(lambda y, a: -(y**2) - 0.1 * a**2, (-2, 2), (-1, 1),
                                    n=11, path=str(tmp_path / "landscape.png"))
+    plotting.plot_waterfall(short_traces, str(tmp_path / "waterfall.png"))
     for f in ["heat.png", "sums.png", "actions.png", "curve.png", "kernels.png",
-              "landscape.png"]:
+              "landscape.png", "waterfall.png"]:
         assert (tmp_path / f).stat().st_size > 1000
 
 
