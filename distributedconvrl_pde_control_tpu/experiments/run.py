@@ -82,29 +82,36 @@ def keller_segel_config_for(name: str):
 _KS_TP = dict(stepper="etdrk4", fft_mode="matmul_hi", nl_fft_mode="matmul_fast")
 
 
-def build_setup(name: str):
+def build_setup(name: str, config_overrides=None):
+    """Build the Setup behind a preset name. `config_overrides` (a dict of
+    config-dataclass fields, e.g. from an artifact's config_overrides.json —
+    checkpoint.load_config_overrides) is applied to the preset config before
+    building, so artifacts trained off-preset (hyperopt winners) rebuild the
+    matching network/replay template."""
     import dataclasses
 
     from distributedconvrl_pde_control_tpu import configs as C
 
     builders = {
-        "KS22": lambda: C.build_ks(C.KS22),
-        "KS200": lambda: C.build_ks(C.KS200),
-        "KS500": lambda: C.build_ks(C.KS500),
-        "KS200_disturbed": lambda: C.build_ks(C.KS200_DISTURBED),
-        "KS22_64": lambda: C.build_ks(C.KS22_64),
-        "KS22_global": lambda: C.build_ks_global(C.KS22_GLOBAL),
-        "KellerSegel10_16": lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16),
+        "KS22": (C.build_ks, lambda: C.KS22),
+        "KS200": (C.build_ks, lambda: C.KS200),
+        "KS500": (C.build_ks, lambda: C.KS500),
+        "KS200_disturbed": (C.build_ks, lambda: C.KS200_DISTURBED),
+        "KS22_64": (C.build_ks, lambda: C.KS22_64),
+        "KS22_global": (C.build_ks_global, lambda: C.KS22_GLOBAL),
+        "KellerSegel10_16": (C.build_keller_segel,
+                             lambda: C.KELLER_SEGEL_10_16),
         # throughput tier: 10 solver substeps (validated at the f32 accuracy
         # floor of the 50-substep reference budget; configs.keller_segel)
-        "KellerSegel10_16_fast": lambda: C.build_keller_segel(
-            C.KELLER_SEGEL_10_16_FAST),
+        "KellerSegel10_16_fast": (C.build_keller_segel,
+                                  lambda: C.KELLER_SEGEL_10_16_FAST),
     }
     for ks_name, ks_cfg in [("KS22", C.KS22), ("KS200", C.KS200),
                             ("KS500", C.KS500), ("KS22_64", C.KS22_64)]:
         builders[ks_name + "_tp"] = (
-            lambda c=ks_cfg, n=ks_name: C.build_ks(
-                dataclasses.replace(c, name=n + "_tp", **_KS_TP)))
+            C.build_ks,
+            lambda c=ks_cfg, n=ks_name: dataclasses.replace(
+                c, name=n + "_tp", **_KS_TP))
     for fluid_name in ["Fluid_8", "Fluid_16", "Fluid_32", "Fluid_8_256",
                        "Fluid_16_256", "Fluid_16_256_fast",
                        "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",
@@ -112,11 +119,15 @@ def build_setup(name: str):
                        "Fluid_8_tp", "Fluid_16_tp", "Fluid_32_tp",
                        "Fluid_8_256_tp",
                        "Fluid_8_eval", "Fluid_16_eval", "Fluid_32_eval"]:
-        builders[fluid_name] = (
-            lambda n=fluid_name: C.build_fluid(fluid_config_for(n)))
+        builders[fluid_name] = (C.build_fluid,
+                                lambda n=fluid_name: fluid_config_for(n))
     if name not in builders:
         raise SystemExit(f"unknown preset {name}; choose from {sorted(builders)}")
-    return builders[name]()
+    build_fn, cfg_fn = builders[name]
+    cfg = cfg_fn()
+    if config_overrides:
+        cfg = dataclasses.replace(cfg, **config_overrides)
+    return build_fn(cfg)
 
 
 def run_sharded(args) -> None:
@@ -368,7 +379,15 @@ def main(argv=None):
                n_episodes=args.hyperopt_episodes)
         return
 
-    setup = build_setup(args.preset)
+    # artifacts trained off-preset (hyperopt winners) ship a
+    # config_overrides.json; honoring it here makes them loadable through
+    # every CLI mode that takes --load-from (eval/resume/transfer/serve)
+    overrides = (checkpoint.load_config_overrides(args.load_from)
+                 if args.load_from else None)
+    setup = build_setup(args.preset, overrides)
+    if overrides:
+        print(f"applied config overrides from {args.load_from}: "
+              f"{sorted(overrides)}")
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -37,12 +37,24 @@ def _paths(dirpath: str, number: Optional[int], light: bool = False):
 
 
 def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = None,
-         include_replay: bool = True) -> None:
+         include_replay: bool = True,
+         config_overrides: Optional[dict] = None) -> None:
     """include_replay=False writes a "light" checkpoint (networks, optimizer
     state, counters — no replay buffer): loading resumes with a fresh buffer,
     which is what shipping pretrained policies needs (the reference's JLD2
     blobs embed the buffer and several exceed its repo's LFS limits,
-    .MISSING_LARGE_BLOBS)."""
+    .MISSING_LARGE_BLOBS).
+
+    `config_overrides`: for artifacts trained OFF-preset (hyperopt winners),
+    the dict of config-dataclass fields that were replaced on the preset
+    config. Written as `config_overrides.json` in `dirpath`; the CLI's
+    --load-from applies it before building the load template, so off-preset
+    artifacts stay loadable (the reference has no such problem — JLD2
+    serializes the whole Flux network, KSSetup.jl:378-402)."""
+    if config_overrides:
+        os.makedirs(dirpath, exist_ok=True)
+        with open(os.path.join(dirpath, "config_overrides.json"), "w") as f:
+            json.dump(config_overrides, f, indent=1, sort_keys=True)
     agent_path, hook_path = _paths(dirpath, number, light=not include_replay)
     if include_replay:
         host_ts = jax.tree.map(to_numpy, ts)
@@ -73,6 +85,17 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
         for k, v in hook.best_trace.items():
             payload[f"best_trace_{k}"] = np.asarray(v)
     np.savez_compressed(hook_path, **payload)
+
+
+def load_config_overrides(dirpath: str) -> Optional[dict]:
+    """The config-dataclass overrides an off-preset artifact was trained
+    with (see save()'s `config_overrides`), or None when the artifact was
+    trained at the preset config."""
+    path = os.path.join(dirpath, "config_overrides.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def save_ppo(dirpath: str, pstate, info: dict) -> None:

@@ -62,24 +62,29 @@ def main():
 
     # --- mono/global-agent ablation: hand-tuned vs the 24-trial hyperopt
     # winner retrained at the full reference budget (RESULTS.md). The winner
-    # overrides are hard-coded (= sample_trial stream seed 1, trial 19) so
-    # this row stays reproducible if the search space evolves.
+    # artifacts ship their config deltas as config_overrides.json (the same
+    # file the CLI's --load-from honors).
     import dataclasses
+
+    from distributedconvrl_pde_control_tpu.train.checkpoint import load_config_overrides
 
     setup, actor_g = load_actor(lambda: C.build_ks_global(C.KS22_GLOBAL),
                                 "artifacts/KS22_global")
     print(json.dumps({"row": "KS22_global (mono, hand-tuned) stabilization",
                       **suppression(setup, actor_g, 200.0, 100.0)}))
-    winner = dict(nna_scale=6.854929717484659, nna_scale_critic=71.41294116144385,
-                  drop_middle_layer=False, gamma=0.995, polyak=0.999,
-                  batch_size=16, update_freq=2, capacity=700000,
-                  learning_rate=0.0010439203422554673,
-                  act_noise=1.1506059322526807)
-    wcfg = dataclasses.replace(C.KS22_GLOBAL, **winner)
+    wcfg = dataclasses.replace(
+        C.KS22_GLOBAL, **load_config_overrides("artifacts/KS22_global_hyperopt"))
     setup, actor_w = load_actor(lambda: C.build_ks_global(wcfg),
                                 "artifacts/KS22_global_hyperopt")
     print(json.dumps({"row": "KS22_global (mono, hyperopt winner) stabilization",
                       **suppression(setup, actor_w, 200.0, 100.0)}))
+
+    # --- distributed KS22 hyperopt winner (16-trial search, RESULTS.md)
+    dwcfg = dataclasses.replace(
+        C.KS22, **load_config_overrides("artifacts/KS22_hyperopt"))
+    setup, actor_dw = load_actor(lambda: C.build_ks(dwcfg), "artifacts/KS22_hyperopt")
+    print(json.dumps({"row": "KS22 (distributed, hyperopt winner) stabilization",
+                      **suppression(setup, actor_dw, 200.0, 100.0)}))
 
     # --- zero-shot transfers from the KS200 artifacts (fidelity + batched)
     _, actor200 = load_actor(lambda: C.build_ks(C.KS200), "artifacts/KS200")

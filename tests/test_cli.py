@@ -90,6 +90,37 @@ def test_cli_coarse_preset_batched_train_cross_grid_eval(tmp_path):
     assert stats["pre_control_mean_abs_dev"] > 0  # ran on the 192 grid
 
 
+@pytest.mark.slow
+def test_cli_config_overrides_roundtrip(tmp_path):
+    """Artifacts trained OFF-preset (hyperopt winners) ship a
+    config_overrides.json; --load-from must rebuild the matching template
+    (without it the msgpack layer-count/shape check fails)."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.drivers import train
+
+    overrides = dict(nna_scale=2.0, drop_middle_layer=False, batch_size=8)
+    setup = C.build_ks(dataclasses.replace(C.KS22, **overrides))
+    ts, hook = train(setup, loops=1, no_steps=30, seed=0, verbose=False)
+    out = str(tmp_path / "winner")
+    checkpoint.save(out, ts, hook, include_replay=False,
+                    config_overrides=overrides)
+    assert checkpoint.load_config_overrides(out) == overrides
+
+    r = run_cli("KS22", "--eval", "--cpu", "--load-from", out,
+                "--out", str(tmp_path / "evalout"), "--p-te", "10",
+                "--p-t-action", "5", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "applied config overrides" in r.stdout
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["pre_control_mean_abs_dev"] > 0
+
+
 def test_tp_tier_presets_build():
     """KS `_tp` tier names (the bench.py throughput configuration: etdrk4 +
     matmul_hi + 1-pass-bf16 nonlinear transforms) resolve for every KS
