@@ -13,10 +13,10 @@ Baseline: the reference publishes no numbers (BASELINE.md); its north-star
 target is ">= 50x per-chip batched-env throughput vs the Julia reference".
 The reference rate is MEASURED by `baseline_proxy.py` (a faithful NumPy/
 pocketfft single-env KS22 host loop with the reference's exact per-step
-work): 1,555 env steps/s solver-only, 189 env steps/s for the full loop
+work): 1,592 env steps/s solver-only, 189 env steps/s for the full loop
 with its 20 batch-3 DDPG updates per step (this host's single-core Xeon;
 see BASELINE.md for the repeat spread and re-pinning rule). `vs_baseline`
-is reported against the GENEROUS bound 50 * 1554.7 = 77,735 env steps/s
+is reported against the GENEROUS bound 50 * 1592 = 79,600 env steps/s
 (i.e. as if the reference's learner were free); vs_baseline >= 1.0 means
 the north-star target is met, and the ratio against the full measured loop
 is ~8x higher still.
@@ -40,9 +40,9 @@ N_ENVS = 16384
 CHUNK = 50
 TIMED_ROUNDS = 5
 # 50x the solver-only reference-loop rate measured by baseline_proxy.py
-# (1,555 env steps/s on this host's CPU — max of repeated runs; full loop
+# (1,592 env steps/s on this host's CPU — max of repeated runs; full loop
 # with learning: 189/s). Re-pin when the host changes (BASELINE.md).
-BASELINE_STEPS_PER_SEC = 50.0 * 1554.7
+BASELINE_STEPS_PER_SEC = 50.0 * 1592.0
 
 
 METRIC = "env steps/sec (batched KS rollout+train)"
