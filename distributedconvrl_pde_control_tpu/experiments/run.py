@@ -255,6 +255,13 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="run directory (default runs/<preset>)")
     ap.add_argument("--load-from", default=None,
                     help="load a checkpoint from another run dir (zero-shot transfer)")
+    ap.add_argument("--config-overrides", default=None, metavar="JSON",
+                    help="config-dataclass overrides applied to the preset "
+                         "before building — an inline JSON object or a path "
+                         "to a .json file (e.g. a --hyperopt winner). Saved "
+                         "checkpoints ship the deltas as "
+                         "config_overrides.json so --load-from rebuilds the "
+                         "matching template")
     ap.add_argument("--resume", action="store_true",
                     help="continue training from the run dir's checkpoint "
                          "(the reference's load(); train() flow)")
@@ -381,13 +388,19 @@ def main(argv=None):
 
     # artifacts trained off-preset (hyperopt winners) ship a
     # config_overrides.json; honoring it here makes them loadable through
-    # every CLI mode that takes --load-from (eval/resume/transfer/serve)
+    # every CLI mode that takes --load-from (eval/resume/transfer/serve).
+    # --config-overrides (inline JSON or a file path) layers on top, so a
+    # search winner can be trained straight from the CLI.
     overrides = (checkpoint.load_config_overrides(args.load_from)
                  if args.load_from else None)
+    if args.config_overrides:
+        raw = args.config_overrides
+        explicit = (json.loads(raw) if raw.lstrip().startswith("{")
+                    else json.load(open(raw)))
+        overrides = {**(overrides or {}), **explicit}
     setup = build_setup(args.preset, overrides)
     if overrides:
-        print(f"applied config overrides from {args.load_from}: "
-              f"{sorted(overrides)}")
+        print(f"applied config overrides: {sorted(overrides)}")
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -427,6 +440,8 @@ def main(argv=None):
                 trainer, iters=args.iters,
                 key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed))
             checkpoint.save_ppo(out_dir, pstate, info)
+            if overrides:
+                checkpoint.save_config_overrides(out_dir, overrides)
             print(f"saved PPO to {out_dir}; best mean step reward "
                   f"{info['best_reward']:.4f} @ iter {info['best_iter']}")
             return
@@ -493,7 +508,8 @@ def main(argv=None):
         ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
                             replay=replay_init(1, acfg.ns, acfg.na_rows),
                             key=np.asarray(ts.key))
-        checkpoint.save(out_dir, ts_std, hook, include_replay=False)
+        checkpoint.save(out_dir, ts_std, hook, include_replay=False,
+                        config_overrides=overrides)
         print(hook.ascii_curve())
         if hook.evals:
             print("evals:", [(s, round(r, 4)) for s, r in hook.evals])
@@ -526,7 +542,7 @@ def main(argv=None):
         else:
             ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed,
                              ts=ts, hook=hook)
-        checkpoint.save(out_dir, ts, hook)
+        checkpoint.save(out_dir, ts, hook, config_overrides=overrides)
         plotting.plot_rewards_curve(hook.rewards, os.path.join(out_dir, "rewards.png"),
                                     hook.bestepisode)
         print(hook.ascii_curve())
@@ -536,7 +552,8 @@ def main(argv=None):
     if args.train_multi:
         best = train_multi(setup, no_episodes=args.no_episodes,
                            n_experiments=args.n_experiments,
-                           save_fn=lambda n, ts, hook: checkpoint.save(out_dir, ts, hook, n))
+                           save_fn=lambda n, ts, hook: checkpoint.save(
+                               out_dir, ts, hook, n, config_overrides=overrides))
         print("best rewards per experiment:", best)
         return
 

@@ -52,9 +52,7 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
     artifacts stay loadable (the reference has no such problem — JLD2
     serializes the whole Flux network, KSSetup.jl:378-402)."""
     if config_overrides:
-        os.makedirs(dirpath, exist_ok=True)
-        with open(os.path.join(dirpath, "config_overrides.json"), "w") as f:
-            json.dump(config_overrides, f, indent=1, sort_keys=True)
+        save_config_overrides(dirpath, config_overrides)
     agent_path, hook_path = _paths(dirpath, number, light=not include_replay)
     if include_replay:
         host_ts = jax.tree.map(to_numpy, ts)
@@ -85,6 +83,13 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
         for k, v in hook.best_trace.items():
             payload[f"best_trace_{k}"] = np.asarray(v)
     np.savez_compressed(hook_path, **payload)
+
+
+def save_config_overrides(dirpath: str, config_overrides: dict) -> None:
+    """Write the off-preset config deltas next to a checkpoint (see save())."""
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "config_overrides.json"), "w") as f:
+        json.dump(config_overrides, f, indent=1, sort_keys=True)
 
 
 def load_config_overrides(dirpath: str) -> Optional[dict]:

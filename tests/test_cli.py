@@ -92,25 +92,22 @@ def test_cli_coarse_preset_batched_train_cross_grid_eval(tmp_path):
 
 @pytest.mark.slow
 def test_cli_config_overrides_roundtrip(tmp_path):
-    """Artifacts trained OFF-preset (hyperopt winners) ship a
-    config_overrides.json; --load-from must rebuild the matching template
-    (without it the msgpack layer-count/shape check fails)."""
-    import dataclasses
-
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    from distributedconvrl_pde_control_tpu import configs as C
-    from distributedconvrl_pde_control_tpu.train import checkpoint
-    from distributedconvrl_pde_control_tpu.train.drivers import train
-
-    overrides = dict(nna_scale=2.0, drop_middle_layer=False, batch_size=8)
-    setup = C.build_ks(dataclasses.replace(C.KS22, **overrides))
-    ts, hook = train(setup, loops=1, no_steps=30, seed=0, verbose=False)
+    """The hyperopt-winner flow, end to end from the CLI: train a preset at
+    --config-overrides (off-preset network shape), the checkpoint ships the
+    deltas as config_overrides.json, and --load-from rebuilds the matching
+    template (without it the msgpack layer-count/shape check fails)."""
     out = str(tmp_path / "winner")
-    checkpoint.save(out, ts, hook, include_replay=False,
-                    config_overrides=overrides)
-    assert checkpoint.load_config_overrides(out) == overrides
+    overrides = '{"nna_scale": 2.0, "drop_middle_layer": false, "batch_size": 8}'
+    r = run_cli("KS22", "--train", "--cpu", "--loops", "1", "--no-steps", "30",
+                "--config-overrides", overrides, "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "applied config overrides" in r.stdout
+    assert os.path.exists(os.path.join(out, "config_overrides.json"))
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+
+    assert checkpoint.load_config_overrides(out) == {
+        "nna_scale": 2.0, "drop_middle_layer": False, "batch_size": 8}
 
     r = run_cli("KS22", "--eval", "--cpu", "--load-from", out,
                 "--out", str(tmp_path / "evalout"), "--p-te", "10",
