@@ -98,6 +98,15 @@ def main():
     print(json.dumps({"row": "KS200_batched -> KS500 transfer",
                       **suppression(s500, actor200b, 200.0, 100.0)}))
 
+    # --- KS200-scale hyperopt winner (same trial-15 config as KS22;
+    # RESULTS.md 'KS200-scale search': 2.12% native / 2.03% -> KS500)
+    hw200cfg = dataclasses.replace(
+        C.KS200, **load_config_overrides("artifacts/KS200_hyperopt"))
+    s200h, actor200h = load_actor(lambda: C.build_ks(hw200cfg),
+                                  "artifacts/KS200_hyperopt")
+    print(json.dumps({"row": "KS200 (hyperopt winner) stabilization",
+                      **suppression(s200h, actor200h, 200.0, 100.0)}))
+
     # --- Keller-Segel regulation (fast-tier artifact, RESULTS.md multi-seed
     # table; |u-1| deviation from an unseen random init, seed 8)
     from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout

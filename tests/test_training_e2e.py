@@ -262,6 +262,37 @@ def test_shipped_ks200_batched_artifact_stabilizes_and_transfers():
     assert post < 0.1 * pre, (pre, post)
 
 
+def test_shipped_ks200_hyperopt_artifact_loads_offpreset_and_stabilizes():
+    """The KS200 hyperopt-winner artifact is trained OFF-preset (searched
+    nna_scale/critic width — RESULTS.md 'KS200-scale search'), so loading it
+    exercises the config_overrides rebuild path end-to-end on a real shipped
+    artifact: build_setup must apply the artifact's config_overrides.json
+    before the checkpoint template is built, or the network shapes mismatch.
+    Quality gate: stabilize the KS200 fidelity env (measured 2.12%)."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.experiments.run import build_setup
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS200_hyperopt")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    overrides = checkpoint.load_config_overrides(art)
+    assert overrides, "off-preset artifact must ship config_overrides.json"
+    setup = build_setup("KS200", config_overrides=overrides)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.1 * pre, (pre, post)
+
+
 def test_shipped_tp_tier_artifact_stabilizes():
     """The `_tp` throughput-tier artifact (artifacts/KS22_tp — trained on
     the full bench configuration: ETDRK4 + matmul_hi + 1-pass-bf16
