@@ -377,6 +377,12 @@ def main(argv=None):
             "KS22_global": (C.KS22_GLOBAL, C.build_ks_global),
             "KS22": (C.KS22, C.build_ks),
             "KS200": (C.KS200, C.build_ks),
+            # third family: the reference wires test_setup only to the mono
+            # KS script (KSglobalSetup.jl:405-426); extending the protocol
+            # to chemotaxis reuses the generic objective unchanged.
+            "KellerSegel10_16": (C.KELLER_SEGEL_10_16, C.build_keller_segel),
+            "KellerSegel10_16_fast": (C.KELLER_SEGEL_10_16_FAST,
+                                      C.build_keller_segel),
         }
         if args.preset not in bases:
             raise SystemExit(f"--hyperopt supports {sorted(bases)}")
