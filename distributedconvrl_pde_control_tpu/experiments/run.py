@@ -231,6 +231,89 @@ def run_sharded(args) -> None:
                       "grid": getattr(cfg, "grid_nx", cfg.nx), **energies}))
 
 
+def run_dp_batched(args):
+    """`--batched --mesh N[x1]`: the flagship throughput trainer
+    (train/batched.py) data-parallel over a pure-dp device mesh
+    (parallel/batched_dp.py) — any preset build_setup knows, global env
+    batch split across devices, gradients pmean'd, standard single-chip
+    checkpoint format (so --eval / --load-from interoperate unchanged)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
+    from distributedconvrl_pde_control_tpu.agents.replay import replay_init
+    from distributedconvrl_pde_control_tpu.parallel.batched_dp import (
+        DPBatchedTrainer,
+        dp_mesh,
+    )
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.batched import (
+        BatchedTrainerConfig,
+        train_batched,
+    )
+    from distributedconvrl_pde_control_tpu.train.loop import TrainState
+
+    if not args.train:
+        raise SystemExit("--batched --mesh is a training mode; the saved "
+                         "checkpoint is standard single-chip format — eval "
+                         "it without --mesh")
+    spec = args.mesh.lower().split("x")
+    n_dp = int(spec[0])
+    if len(spec) > 1 and int(spec[1]) != 1:
+        raise SystemExit(f"--batched shards over dp only; use --mesh {n_dp} "
+                         f"or {n_dp}x1, got {args.mesh!r}")
+    if len(jax.devices()) < n_dp:
+        raise SystemExit(f"mesh {n_dp}x1 needs {n_dp} devices, have "
+                         f"{len(jax.devices())} (hint: --virtual-devices N)")
+
+    overrides = (checkpoint.load_config_overrides(args.load_from)
+                 if args.load_from else None)
+    if args.config_overrides:
+        raw = args.config_overrides
+        explicit = (json.loads(raw) if raw.lstrip().startswith("{")
+                    else json.load(open(raw)))
+        overrides = {**(overrides or {}), **explicit}
+    setup = build_setup(args.preset, overrides)
+    if args.capacity:
+        setup = _dc.replace(
+            setup, agent=DDPGAgent(_dc.replace(setup.agent.cfg,
+                                               capacity=args.capacity)))
+    n_envs = args.n_envs or 256
+    pool = None
+    if setup.random_init is not None:
+        keys = jax.random.split(jax.random.PRNGKey(setup.seed), 32)
+        pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+    trainer = DPBatchedTrainer(
+        setup.env, setup.agent,
+        BatchedTrainerConfig(n_envs=n_envs,
+                             batch_size=args.learner_batch or 256,
+                             update_loops=1,
+                             min_best_episode=setup.min_best_episode),
+        dp_mesh(n_dp), y0_pool=pool,
+    )
+    ts, hook, means = train_batched(
+        trainer, total_steps=args.total_steps,
+        key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),
+        noise_decay_every=args.noise_every or max(1, args.total_steps // setup.loops),
+        noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
+        chunk_len=args.chunk_len or 50,
+        verbose=True, eval_every=args.eval_every)
+    out_dir = args.out or os.path.join("runs", args.preset)
+    os.makedirs(out_dir, exist_ok=True)
+    acfg = setup.agent.cfg
+    # all saved leaves are replicated across the mesh -> standard format
+    ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
+                        replay=replay_init(1, acfg.ns, acfg.na_rows),
+                        key=np.asarray(ts.key[0]))
+    checkpoint.save(out_dir, ts_std, hook, include_replay=False,
+                    config_overrides=overrides)
+    print(hook.ascii_curve())
+    print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} @ ep "
+          f"{hook.bestepisode}; {int(ts.total_env_steps)} env steps over "
+          f"dp={n_dp}, final chunk mean {means[-1]:.4f}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("preset")
@@ -361,6 +444,8 @@ def main(argv=None):
     if args.mesh:
         if args.train_multi:
             raise SystemExit("--train-multi is not supported with --mesh")
+        if args.batched:
+            return run_dp_batched(args)
         return run_sharded(args)
 
     from distributedconvrl_pde_control_tpu.train import checkpoint

@@ -107,6 +107,12 @@ class BatchedTrainer:
     # ------------------------------------------------------------------ init
     def init(self, key) -> BatchedTrainState:
         k_agent, k_envs, k_run = jax.random.split(key, 3)
+        return self.init_from_keys(k_agent, k_envs, k_run)
+
+    def init_from_keys(self, k_agent, k_envs, k_run) -> BatchedTrainState:
+        """init() with the three key roles split out, so a multi-device
+        wrapper (parallel/batched_dp.py) can give every device the SAME
+        agent key (replicated params) but independent env/run streams."""
         env_states = self._fresh_states(k_envs, self.cfg.n_envs)
         acfg = self.agent.cfg
         astate = self.agent.init_state(k_agent)
@@ -132,7 +138,14 @@ class BatchedTrainer:
         )
 
     # ------------------------------------------------------------- one step
-    def _train_step(self, ts: BatchedTrainState, learn: bool):
+    def _train_step(self, ts: BatchedTrainState, learn: bool,
+                    axis_name: Optional[str] = None):
+        """One fused train step. `axis_name`: when running as the per-device
+        program of a data-parallel mesh (parallel/batched_dp.py), the mesh
+        axis to reduce over — DDPG gradients pmean (identical semantics to
+        the sharded fluid trainer's dp axis) and three scalar collectives
+        that keep the PDEhook bookkeeping GLOBAL (finished-episode psum,
+        candidate-best pmax, mean-reward pmean)."""
         env, agent, cfg = self.env, self.agent, self.cfg
         acfg = agent.cfg
         key, k_act, k_learn, k_reset = jax.random.split(ts.key, 4)
@@ -210,7 +223,7 @@ class BatchedTrainer:
                     # (that exclusion mirrors the reference's slot arithmetic
                     # in fidelity mode, agents/replay.py docstring)
                     batch = replay_sample(replay, k, cfg.batch_size, 0)
-                    return agent.learn_batch(a, batch), None
+                    return agent.learn_batch(a, batch, axis_name), None
 
                 a, _ = jax.lax.scan(one, a, jax.random.split(k_learn, cfg.update_loops))
                 return a
@@ -224,9 +237,19 @@ class BatchedTrainer:
             done, new_estates.time >= env.te * (1.0 - 1e-6))
         step_mean_r = jnp.mean(safe_reward, axis=-1)  # (B,)
         ep_r = ts.ep_reward + step_mean_r
-        ep_count = ts.ep_count + jnp.sum(done.astype(jnp.int32))
+        done_count = jnp.sum(done.astype(jnp.int32))
+        mean_r_scalar = jnp.mean(safe_reward)
         cand = jnp.where(jnp.logical_and(done, completed), ep_r, -jnp.inf)
         cand_max = jnp.max(cand)
+        b_global = B
+        if axis_name is not None:
+            # keep the hook scalars GLOBAL so every device tracks the same
+            # best episode / episode count (they stay bitwise-replicated)
+            done_count = jax.lax.psum(done_count, axis_name)
+            mean_r_scalar = jax.lax.pmean(mean_r_scalar, axis_name)
+            cand_max = jax.lax.pmax(cand_max, axis_name)
+            b_global = B * jax.lax.axis_size(axis_name)
+        ep_count = ts.ep_count + done_count
         is_better = jnp.logical_and(cand_max > ts.best_reward,
                                     ep_count >= cfg.min_best_episode)
         best_actor = jax.tree.map(lambda b, c: jnp.where(is_better, c, b),
@@ -238,7 +261,7 @@ class BatchedTrainer:
             "finished": done,
             "completed": completed,
             "ep_reward": ep_r,
-            "mean_reward": jnp.mean(safe_reward),
+            "mean_reward": mean_r_scalar,
         }
         return (
             BatchedTrainState(
@@ -247,7 +270,7 @@ class BatchedTrainer:
                 env_states=estates,
                 obs_flat=new_obs_flat,
                 key=key,
-                total_env_steps=ts.total_env_steps + B,
+                total_env_steps=ts.total_env_steps + b_global,
                 ep_reward=jnp.where(done, 0.0, ep_r),
                 ep_count=ep_count,
                 best_reward=best_reward,
@@ -264,10 +287,17 @@ class BatchedTrainer:
         (train.hooks.unpack_records row order; errored is all-zero — the
         detector exists only in the sharded fluid family). One array means
         ONE device->host RPC per chunk for the whole host accounting."""
+        return jax.jit(self.make_chunk_body(n_steps, learn), donate_argnums=0)
+
+    def make_chunk_body(self, n_steps: int, learn: bool = True,
+                        axis_name: Optional[str] = None):
+        """The UNJITTED chunk program (scan of `n_steps` train steps + record
+        packing) — so parallel/batched_dp.py can wrap it in shard_map as the
+        per-device body of the data-parallel mesh before jitting."""
 
         def chunk(ts: BatchedTrainState):
             def body(ts, _):
-                return self._train_step(ts, learn)
+                return self._train_step(ts, learn, axis_name)
 
             ts, recs = jax.lax.scan(body, ts, None, length=n_steps)
             shape = recs["finished"].shape
@@ -280,7 +310,7 @@ class BatchedTrainer:
             ])
             return ts, packed
 
-        return jax.jit(chunk, donate_argnums=0)
+        return chunk
 
     # ------------------------------------------------------------------ eval
     def eval_mean_reward(self, actor_params, n_steps: int, key=None) -> float:
