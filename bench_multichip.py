@@ -196,6 +196,86 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
     }
 
 
+def bench_point_ks_dp(mesh_spec: str, n_envs: int, steps: int,
+                      chunk_len: int, batch_size: int) -> dict:
+    """The DP-batched flagship trainer (parallel/batched_dp.py): the exact
+    bench.py program (KS22 `_tp` tier, fused rollout+train chunks) sharded
+    over a pure-dp mesh. Collective traffic is ~2.3 kB of gradient pmean
+    per step (PERFORMANCE.md DP scale-out note), so the interesting columns
+    are ms/step vs the single-device rate and the driver-in-loop overhead."""
+    from distributedconvrl_pde_control_tpu.configs import KS22, build_ks
+    from distributedconvrl_pde_control_tpu.configs.ks import ks_random_init
+    from distributedconvrl_pde_control_tpu.parallel.batched_dp import (
+        DPBatchedTrainer,
+        dp_mesh,
+    )
+    from distributedconvrl_pde_control_tpu.train.batched import (
+        BatchedTrainerConfig,
+    )
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+    from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
+
+    spec = mesh_spec.lower().split("x")
+    n_dp = int(spec[0])
+    assert len(spec) == 1 or int(spec[1]) == 1, "ks-dp wants a pure-dp mesh"
+    setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi",
+                                         stepper="etdrk4",
+                                         nl_fft_mode="matmul_fast"))
+    tr = DPBatchedTrainer(
+        setup.env, setup.agent,
+        BatchedTrainerConfig(n_envs=n_envs, batch_size=batch_size,
+                             update_loops=1),
+        dp_mesh(n_dp), random_init=ks_random_init(KS22))
+    state_box = [tr.init(jax.random.PRNGKey(0))]
+    chunk = tr.make_chunk_fn(chunk_len)
+
+    def chunk_only(n):
+        s = state_box[0]
+        recs = None
+        for _ in range(n // chunk_len):
+            s, recs = chunk(s)
+        jax.block_until_ready(recs)
+        state_box[0] = s
+
+    def driver_in_loop(n):
+        # the train_batched pipeline: one-chunk record-read deferral
+        s = state_box[0]
+        hook = PDEHook(collect_best_trace=False)
+        pending = None
+        for _ in range(n // chunk_len):
+            s, recs = chunk(s)
+            start_host_copies(recs)
+            if pending is not None:
+                hook.feed_episode_records(pending)
+            pending = recs
+        hook.feed_episode_records(pending)
+        jax.block_until_ready(s.total_env_steps)
+        state_box[0] = s
+
+    def timed(loop_fn, n, reps=2):
+        loop_fn(chunk_len)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loop_fn(n)
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
+
+    chunk_only(chunk_len)  # compile + warm
+    dt_step = timed(chunk_only, steps)
+    dt_driver = timed(driver_in_loop, steps)
+    return {
+        "metric": "dp_batched_ks_train_step",
+        "mesh": f"{n_dp}x1",
+        "n_envs": n_envs,
+        "ms_per_step": round(dt_step * 1000.0, 4),
+        "ms_per_step_driver": round(dt_driver * 1000.0, 4),
+        "driver_overhead_pct": round((dt_driver / dt_step - 1.0) * 100.0, 1),
+        "env_steps_per_sec": round(n_envs / dt_step, 1),
+        "backend": jax.default_backend(),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--meshes", default="8x1,4x2,2x4,1x8")
@@ -211,13 +291,21 @@ def main(argv=None):
                     help="solver tier: the fixed-step rk4 program (default, "
                          "comparable across rounds) or the run.py `_tp` "
                          "throughput tier (ifrk4 + bf16 transform tiers)")
+    ap.add_argument("--family", default="fluid", choices=("fluid", "ks-dp"),
+                    help="fluid: the DPxSP sharded 2D trainer (default); "
+                         "ks-dp: the DP-batched flagship KS trainer "
+                         "(pure-dp meshes, e.g. --meshes 1x1,2x1,4x1,8x1)")
     args = ap.parse_args(argv)
     _setup_backend(args.virtual)
 
     for spec in args.meshes.split(","):
-        point = bench_point(spec.strip(), args.nx, args.n_envs,
-                            args.oversampling, args.steps, args.chunk_len,
-                            args.batch_size, tier=args.tier)
+        if args.family == "ks-dp":
+            point = bench_point_ks_dp(spec.strip(), args.n_envs, args.steps,
+                                      args.chunk_len, args.batch_size)
+        else:
+            point = bench_point(spec.strip(), args.nx, args.n_envs,
+                                args.oversampling, args.steps, args.chunk_len,
+                                args.batch_size, tier=args.tier)
         print(json.dumps(point), flush=True)
 
 
