@@ -541,12 +541,21 @@ def main(argv=None):
             args.load_from or out_dir, pagent.init_state(jax.random.PRNGKey(0)))
         params = info.get("best_params") or pagent._params(pstate)
         policy = ppo_policy(pagent, params)
-        traces = rollout(setup.env, policy, te=args.p_te, t_action=args.p_t_action)
+        y0 = None
+        if args.random_init and setup.random_init is not None:
+            y0 = setup.random_init(jax.random.PRNGKey(
+                args.seed if args.seed is not None else setup.seed))
+        traces = rollout(setup.env, policy, y0=y0, te=args.p_te,
+                         t_action=args.p_t_action)
         plotting.plot_heat(traces, os.path.join(out_dir, "heat_ppo.png"),
                            title=f"{args.preset} PPO")
         n_steps = traces["y"].shape[0]
         act_start = int(round(args.p_t_action / setup.env.dt))
         y = traces["y"]
+        if args.preset.startswith("KellerSegel"):
+            # deviation from the u = 1 control target, matching the DDPG
+            # eval metric (KellerSegelSetup.jl:241-263)
+            y = y[:, 0] - 1.0
         pre = float(np.abs(y[max(0, act_start - 100):act_start]).mean())
         post = float(np.abs(y[-max(1, n_steps // 10):]).mean())
         print(json.dumps({"agent": "ppo", "pre_control_mean_abs_dev": pre,

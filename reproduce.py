@@ -123,6 +123,30 @@ def main():
                       "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
                       "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
 
+    # --- Keller-Segel PPO artifact (RESULTS.md PPO table: ~45% deviation
+    # suppression on unseen seeds — between the original and fast DDPG rows)
+    from distributedconvrl_pde_control_tpu.agents.ppo import (
+        PPOAgent,
+        PPOConfig,
+        ppo_policy,
+    )
+    from distributedconvrl_pde_control_tpu.train import checkpoint as _ckpt
+
+    pcfg = PPOConfig(ns=ks_setup.agent.cfg.ns, na=ks_setup.agent.cfg.na_rows,
+                     rollout_len=50, n_microbatches=16, n_epochs=4,
+                     learning_rate=3e-4)
+    pagent = PPOAgent(pcfg)
+    pstate, pinfo = _ckpt.load_ppo("artifacts/KellerSegel10_16_ppo",
+                                   pagent.init_state(jax.random.PRNGKey(0)))
+    ppol = ppo_policy(pagent, pinfo.get("best_params") or pagent._params(pstate))
+    y0p = ks_setup.random_init(jax.random.PRNGKey(7))
+    tr = rollout(ks_setup.env, ppol, y0=y0p, te=12.0, t_action=6.0)
+    devp = np.abs(np.asarray(tr["y"])[:, 0] - 1.0)
+    ap = int(round(6.0 / ks_setup.env.dt))
+    print(json.dumps({"row": "KellerSegel10_16_ppo regulation",
+                      "pre": round(float(devp[max(0, ap - 100):ap].mean()), 4),
+                      "post": round(float(devp[-len(devp) // 10:].mean()), 4)}))
+
     if not args.full:
         print("(run with --full for the fluid energy comparisons)")
         return

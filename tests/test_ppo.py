@@ -130,3 +130,42 @@ def test_shipped_ppo_artifact_stabilizes():
     pre = np.abs(y[200:300]).mean()
     post = np.abs(y[-60:]).mean()
     assert post < 0.15 * pre, (pre, post)
+
+
+def test_shipped_keller_segel_ppo_artifact():
+    """The committed Keller-Segel PPO checkpoint suppresses ~45% of the
+    |u-1| deviation on an unseen random init (RESULTS.md PPO row) — between
+    the original DDPG artifact (no better than uncontrolled OOD) and the
+    fast-tier DDPG artifact (95-96%)."""
+    import os
+
+    import pytest
+
+    from distributedconvrl_pde_control_tpu.agents.ppo import ppo_policy
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16_FAST,
+        build_keller_segel,
+    )
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KellerSegel10_16_ppo")
+    if not os.path.exists(os.path.join(art, "saves", "ppo.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_keller_segel(KELLER_SEGEL_10_16_FAST)
+    cfg = PPOConfig(ns=setup.agent.cfg.ns, na=setup.agent.cfg.na_rows,
+                    rollout_len=50, n_microbatches=16, n_epochs=4,
+                    learning_rate=3e-4)
+    agent = PPOAgent(cfg)
+    pstate, info = checkpoint.load_ppo(art, agent.init_state(jax.random.PRNGKey(0)))
+    policy = ppo_policy(agent, info.get("best_params") or agent._params(pstate))
+    y0 = setup.random_init(jax.random.PRNGKey(7))
+    traces = rollout(setup.env, policy, y0=y0, te=12.0, t_action=6.0)
+    dev = np.abs(traces["y"][:, 0] - 1.0)
+    act_start = int(round(6.0 / setup.env.dt))
+    pre = dev[max(0, act_start - 100):act_start].mean()
+    post = dev[-dev.shape[0] // 10:].mean()
+    # uncontrolled holds |u-1| ~ 0.5 over the window; require a real cut
+    assert post < 0.35, (pre, post)
+    assert post < 0.7 * pre, (pre, post)
