@@ -338,6 +338,11 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="run directory (default runs/<preset>)")
     ap.add_argument("--load-from", default=None,
                     help="load a checkpoint from another run dir (zero-shot transfer)")
+    ap.add_argument("--import-jld2", default=None, metavar="SAVES_DIR",
+                    help="import a reference-format JLD2 checkpoint dir "
+                         "(agent.jld2/hook.jld2, KSSetup.jl:378-402) instead "
+                         "of --load-from; converts it to the standard light "
+                         "checkpoint in --out, then evaluates it")
     ap.add_argument("--config-overrides", default=None, metavar="JSON",
                     help="config-dataclass overrides applied to the preset "
                          "before building — an inline JSON object or a path "
@@ -665,8 +670,19 @@ def main(argv=None):
         serve.main([args.preset, "--load-from", load_dir]
                    + (["--cpu"] if args.cpu else []))
         return
-    ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
-    ts, hook = checkpoint.load(load_dir, ts_template)
+    if args.import_jld2:
+        from distributedconvrl_pde_control_tpu.train.reference_import import (
+            import_reference_checkpoint,
+        )
+
+        ts, hook = import_reference_checkpoint(args.import_jld2, setup,
+                                               out_dir=out_dir)
+        print(f"imported reference JLD2 saves {args.import_jld2} -> {out_dir} "
+              f"(standard light checkpoint; reference bestreward "
+              f"{hook.bestreward:.4f} @ ep {hook.bestepisode})")
+    else:
+        ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+        ts, hook = checkpoint.load(load_dir, ts_template)
     actor = (
         jax.tree.map(jnp.asarray, hook.best_actor) if hook.best_actor is not None else ts.agent.actor
     )

@@ -1,0 +1,155 @@
+"""JLD2 import of the reference's shipped checkpoints.
+
+The decisive end-to-end parity experiment: policies trained by the
+reference's Julia stack (shipped in scripts/*/saves/*.jld2) are imported
+raw and must control THIS framework's environments — which only happens if
+featurization, action smearing, solver and act-limit conventions all match
+(KSSetup.jl:190-245, src/plotting.jl:28-30).
+
+Skipped wholesale when the reference snapshot is not present.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference/scripts"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference snapshot not present")
+
+
+def _actor(chain):
+    return [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in chain]
+
+
+def test_agent_jld2_networks_and_hypers_match_preset():
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        load_reference_agent,
+    )
+
+    nets = load_reference_agent(f"{REF}/KS/KS22/saves")
+    setup = C.build_ks(C.KS22)
+    st = setup.agent.init_state(jax.random.PRNGKey(0))
+    for name in ("actor", "critic", "target_actor", "target_critic"):
+        got = [l["w"].shape for l in nets[name]]
+        want = [tuple(l["w"].shape) for l in getattr(st, name)]
+        assert got == want, (name, got, want)
+    h = nets["hyper"]
+    # CustomDDPGPolicy scalars (src/PDEagent.jl:121-157) as configured by
+    # KSSetup.jl:64-71
+    assert h["y"] == pytest.approx(0.99)
+    assert h["p"] == pytest.approx(0.995)
+    assert h["act_limit"] == pytest.approx(1.0)
+    assert h["batch_size"] == 3
+    assert h["update_loops"] == 20
+
+
+@pytest.mark.parametrize("saves,build", [
+    ("KS/KS200/saves", lambda C: C.build_ks(C.KS200)),
+    ("KS/KS22_global-agent/saves", lambda C: C.build_ks_global()),
+    ("Fluid/Fluid_8/saves", lambda C: C.build_fluid(C.FLUID_8)),
+    ("Fluid/Fluid_16/saves", lambda C: C.build_fluid(C.FLUID_16)),
+    ("Fluid/Fluid_32/saves", lambda C: C.build_fluid(C.FLUID_32)),
+    ("Keller-Segel/Keller-Segel10_16/saves",
+     lambda C: C.build_keller_segel(C.KELLER_SEGEL_10_16)),
+])
+def test_best_actor_shapes_match_every_family(saves, build):
+    """Every shipped hook.jld2's bestNNA drops into the matching preset's
+    actor template — the network factory and featurizer dimensions agree
+    with the reference across ALL families (create_NNA, PDEagent.jl:14-56)."""
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        load_reference_best_actor,
+    )
+
+    chain, info = load_reference_best_actor(f"{REF}/{saves}")
+    setup = build(C)
+    st = setup.agent.init_state(jax.random.PRNGKey(0))
+    got = [l["w"].shape for l in chain]
+    want = [tuple(l["w"].shape) for l in st.actor]
+    assert got == want, (saves, got, want)
+    assert np.isfinite(info["bestreward"])
+
+
+def test_reference_trained_ks22_policy_controls_our_env():
+    """The reference's own trained KS22 policy, imported raw, stabilizes our
+    KS22 environment (measured: 0.24% suppression — RESULTS.md import
+    table). This passes only if the full observation->action->forcing->
+    solver pipeline is semantically identical to the Julia stack."""
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        load_reference_best_actor,
+    )
+
+    chain, _ = load_reference_best_actor(f"{REF}/KS/KS22/saves")
+    setup = C.build_ks(C.KS22)
+    traces = rollout(setup.env, actor_policy(setup.agent, _actor(chain)),
+                     te=200.0, t_action=100.0)
+    y = np.asarray(traces["y"])
+    pre = np.abs(y[800:1000]).mean()
+    post = np.abs(y[-200:]).mean()
+    assert post < 0.02 * pre, (pre, post)
+
+
+def test_import_checkpoint_roundtrip(tmp_path):
+    """import_reference_checkpoint writes a standard light checkpoint that
+    the normal loader reproduces exactly (behavior nets + bestNNA + reward
+    history)."""
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        import_reference_checkpoint,
+        load_reference_best_actor,
+    )
+
+    setup = C.build_ks(C.KS22)
+    out = str(tmp_path / "imported")
+    ts, hook = import_reference_checkpoint(f"{REF}/KS/KS22/saves", setup,
+                                           out_dir=out)
+    tmpl = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts2, hook2 = checkpoint.load(out, tmpl)
+    chain, info = load_reference_best_actor(f"{REF}/KS/KS22/saves")
+    for got, want in zip(hook2.best_actor, chain):
+        assert np.array_equal(np.asarray(got["w"]), want["w"])
+        assert np.array_equal(np.asarray(got["b"]), want["b"])
+    for got, want in zip(ts2.agent.actor, ts.agent.actor):
+        assert np.array_equal(np.asarray(got["w"]), np.asarray(want["w"]))
+    assert hook2.bestreward == pytest.approx(info["bestreward"])
+    assert hook2.bestepisode == info["bestepisode"]
+    assert len(hook2.rewards) == len(hook.rewards)
+
+
+def test_best_trace_import():
+    """The hook's stored bestDF (PDEhook.jl:54-62) decodes into this
+    framework's trace dict and round-trips through the checkpoint, enabling
+    --plot-best on imported artifacts."""
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        load_reference_best_trace,
+    )
+
+    tr = load_reference_best_trace(f"{REF}/KS/KS22/saves")
+    assert tr is not None
+    assert tr["y"].shape == (51, 192)
+    assert tr["forcing"].shape == (51, 192)
+    assert tr["action"].shape == (51, 8)
+    assert tr["reward"].shape == (51, 8)
+    assert np.isfinite(tr["y"]).all()
+
+
+def test_import_shape_mismatch_raises(tmp_path):
+    """Importing a saves dir against the WRONG preset fails loudly with the
+    shape diagnostic, not silently."""
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        import_reference_checkpoint,
+    )
+
+    setup = C.build_fluid(C.FLUID_8)
+    with pytest.raises(ValueError, match="do not match"):
+        import_reference_checkpoint(f"{REF}/KS/KS22_global-agent/saves", setup)
