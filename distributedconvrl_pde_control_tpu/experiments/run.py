@@ -626,9 +626,23 @@ def main(argv=None):
     if args.train:
         ts = hook = None
         if args.resume:
-            ts_template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
-            ts, hook = checkpoint.load(args.load_from or out_dir, ts_template)
-            print(f"resuming from ep {hook.ep - 1}, best {hook.bestreward:.4f}")
+            if args.import_jld2:
+                # the reference's own load(); train() continuation flow
+                # (KS22.jl:26-32) straight from its JLD2 saves — resumes
+                # with a fresh replay buffer, like our light checkpoints
+                from distributedconvrl_pde_control_tpu.train.reference_import import (
+                    import_reference_checkpoint,
+                )
+
+                ts, hook = import_reference_checkpoint(args.import_jld2, setup)
+                print(f"resuming from imported reference JLD2 "
+                      f"{args.import_jld2} (ep {hook.ep - 1}, "
+                      f"best {hook.bestreward:.4f})")
+            else:
+                ts_template = init_train_state(setup.env, setup.agent,
+                                               jax.random.PRNGKey(0))
+                ts, hook = checkpoint.load(args.load_from or out_dir, ts_template)
+                print(f"resuming from ep {hook.ep - 1}, best {hook.bestreward:.4f}")
         if args.profile:
             from distributedconvrl_pde_control_tpu.utils.profiling import StepTimer, trace
 

@@ -70,12 +70,21 @@ def load_reference_best_actor(saves_dir: str):
     path runs (src/plotting.jl:28-30)."""
     hook = load_jld2(os.path.join(saves_dir, "hook.jld2"), "hook")
     chain = _chain(hook["bestNNA"])
-    rewards = hook.get("rewards")
+
+    def _vec(x):
+        if x is None or isinstance(x, Unreadable):
+            return None
+        return np.atleast_1d(np.asarray(x, np.float64))
+
     info = {
         "bestreward": float(hook["bestreward"]),
         "bestepisode": int(hook["bestepisode"]),
-        "rewards": None if isinstance(rewards, Unreadable) else
-        np.asarray(rewards, np.float64),
+        "rewards": _vec(hook.get("rewards")),
+        # the completed-episode rewards the best gate compares against
+        # (PDEhook.jl:66: reward >= maximum(rewards_compare)) — without it,
+        # resumed training would clobber the imported best with the first
+        # completed episode
+        "rewards_compare": _vec(hook.get("rewards_compare")),
         "errored_episodes": hook.get("errored_episodes"),
     }
     return chain, info
@@ -207,8 +216,13 @@ def import_reference_checkpoint(saves_dir: str, setup, out_dir: Optional[str] = 
     hook.bestreward = info["bestreward"]
     hook.bestepisode = info["bestepisode"]
     if info["rewards"] is not None:
-        hook.rewards = [float(r) for r in np.atleast_1d(info["rewards"])]
+        hook.rewards = [float(r) for r in info["rewards"]]
         hook.ep = len(hook.rewards) + 1
+    if info["rewards_compare"] is not None:
+        hook.rewards_compare = [float(r) for r in info["rewards_compare"]]
+    elif not hook.rewards_compare:
+        # keep the best gate intact even if the history column was skipped
+        hook.rewards_compare = [info["bestreward"]]
 
     if out_dir is not None:
         checkpoint.save(out_dir, ts, hook, include_replay=False)

@@ -142,6 +142,36 @@ def test_best_trace_import():
     assert np.isfinite(tr["y"]).all()
 
 
+def test_imported_best_survives_worse_episodes(tmp_path):
+    """rewards_compare is imported from hook.jld2, so continued training
+    (--train --resume --import-jld2) can't clobber the imported best with
+    the first completed episode (the best gate compares against it,
+    PDEhook.jl:66)."""
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        import_reference_checkpoint,
+        load_reference_best_actor,
+    )
+
+    setup = C.build_ks(C.KS22)
+    ts, hook = import_reference_checkpoint(f"{REF}/KS/KS22/saves", setup)
+    assert len(hook.rewards_compare) > 0
+    _, info = load_reference_best_actor(f"{REF}/KS/KS22/saves")
+    assert max(hook.rewards_compare) == pytest.approx(info["bestreward"])
+
+    class R:  # a worse completed episode
+        reward_sum = np.float32(info["bestreward"] - 2.0)
+        completed = np.bool_(True)
+        steps = np.int32(50)
+
+    hook.collect_best_trace = False
+    before = [np.asarray(l["w"]).copy() for l in hook.best_actor]
+    hook.on_episode(R(), ts.agent)
+    assert hook.bestreward == pytest.approx(info["bestreward"])
+    for got, want in zip(hook.best_actor, before):
+        assert np.array_equal(np.asarray(got["w"]), want)
+
+
 def test_import_shape_mismatch_raises(tmp_path):
     """Importing a saves dir against the WRONG preset fails loudly with the
     shape diagnostic, not silently."""
