@@ -602,13 +602,22 @@ def main(argv=None):
                                  min_best_episode=setup.min_best_episode),
             y0_pool=pool,
         )
+        warm = None
+        if args.import_jld2:
+            from distributedconvrl_pde_control_tpu.train.reference_import import (
+                load_warm_start,
+            )
+
+            warm = load_warm_start(args.import_jld2)
+            print(f"warm-starting from imported reference JLD2 "
+                  f"{args.import_jld2} ({sorted(warm)})")
         ts, hook, means = train_batched(
             trainer, total_steps=args.total_steps,
             key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),
             noise_decay_every=args.noise_every or max(1, args.total_steps // setup.loops),
             noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
             chunk_len=args.chunk_len or 50,
-            verbose=True, eval_every=args.eval_every)
+            verbose=True, eval_every=args.eval_every, warm_start=warm)
         acfg = setup.agent.cfg
         ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
                             replay=replay_init(1, acfg.ns, acfg.na_rows),

@@ -360,7 +360,8 @@ class BatchedTrainer:
 def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
                   noise_decay_every: int = 0, noise_decay: float = 0.5,
                   chunk_len: int = 50, verbose: bool = False, hook=None,
-                  eval_every: int = 0, eval_steps: int = 50):
+                  eval_every: int = 0, eval_steps: int = 50,
+                  warm_start: Optional[dict] = None):
     """Throughput-mode training driver: run `total_steps` fused steps in
     chunks, optionally decaying the exploration noise every
     `noise_decay_every` steps (the batched analogue of the reference's
@@ -385,6 +386,19 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     )
 
     ts = trainer.init(key if key is not None else jax.random.PRNGKey(0))
+    if warm_start is not None:
+        # splice pre-trained network chains (e.g. an imported reference
+        # JLD2 agent, train/reference_import.py) into the fresh state; any
+        # of actor/critic/target_actor/target_critic may be given, the
+        # rest stay freshly initialized. The warm actor also seeds the
+        # on-device best snapshot so a cold exploration phase can't lose it.
+        as_jnp = lambda chain: [  # noqa: E731
+            {"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+            for l in chain]
+        nets = {k: as_jnp(v) for k, v in warm_start.items()}
+        ts = ts.replace(agent=ts.agent.replace(**nets))
+        if "actor" in nets:
+            ts = ts.replace(best_actor=jax.tree.map(jnp.copy, nets["actor"]))
     chunk_fn = trainer.make_chunk_fn(chunk_len)
     if hook is None:
         hook = PDEHook(min_best_episode=trainer.cfg.min_best_episode,

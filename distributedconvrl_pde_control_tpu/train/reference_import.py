@@ -159,6 +159,20 @@ def _check_shapes(name: str, got: list, want: list) -> None:
             f"template {want_s} — wrong preset for this reference save dir?")
 
 
+def load_warm_start(saves_dir: str) -> dict:
+    """Network chains for warm-starting a trainer from a reference save:
+    {"actor", "target_actor"} always (hook bestNNA), plus {"critic",
+    "target_critic"} and the behavior nets when agent.jld2 is present.
+    Used by the CLI's --batched --import-jld2 "migrate and improve" path."""
+    best_chain, _ = load_reference_best_actor(saves_dir)
+    try:
+        nets = load_reference_agent(saves_dir)
+        return {k: nets[k] for k in
+                ("actor", "critic", "target_actor", "target_critic")}
+    except (FileNotFoundError, OSError):
+        return {"actor": best_chain, "target_actor": best_chain}
+
+
 def import_reference_checkpoint(saves_dir: str, setup, out_dir: Optional[str] = None,
                                 seed: int = 0):
     """Convert a reference experiment's saves/ into this framework's

@@ -172,6 +172,34 @@ def test_imported_best_survives_worse_episodes(tmp_path):
         assert np.array_equal(np.asarray(got["w"]), want)
 
 
+def test_batched_warm_start_splices_networks():
+    """train_batched(warm_start=...) seeds the agent and the on-device best
+    snapshot with the imported chains (the --batched --import-jld2
+    'migrate and improve' path)."""
+    from distributedconvrl_pde_control_tpu import configs as C
+    from distributedconvrl_pde_control_tpu.train.batched import (
+        BatchedTrainer,
+        BatchedTrainerConfig,
+        train_batched,
+    )
+    from distributedconvrl_pde_control_tpu.train.reference_import import (
+        load_warm_start,
+    )
+
+    setup = C.build_ks(C.KS22)
+    warm = load_warm_start(f"{REF}/KS/KS22/saves")
+    assert set(warm) == {"actor", "critic", "target_actor", "target_critic"}
+    trainer = BatchedTrainer(setup.env, setup.agent,
+                             BatchedTrainerConfig(n_envs=4, batch_size=8))
+    ts, hook, _ = train_batched(trainer, total_steps=0, warm_start=warm,
+                                key=jax.random.PRNGKey(0))
+    for name in ("actor", "critic", "target_actor", "target_critic"):
+        for got, want in zip(getattr(ts.agent, name), warm[name]):
+            assert np.array_equal(np.asarray(got["w"]), want["w"])
+    for got, want in zip(ts.best_actor, warm["actor"]):
+        assert np.array_equal(np.asarray(got["w"]), want["w"])
+
+
 def test_import_shape_mismatch_raises(tmp_path):
     """Importing a saves dir against the WRONG preset fails loudly with the
     shape diagnostic, not silently."""
