@@ -200,6 +200,24 @@ def test_batched_warm_start_splices_networks():
         assert np.array_equal(np.asarray(got["w"]), want["w"])
 
 
+def test_checked_in_mono_y0_matches_reference_jld2():
+    """Provenance: configs/data_ks_global_y0.npy is bit-for-bit the
+    reference's stored fixed initial condition (KSglobalSetup.jl:62
+    y0.jld2), re-read through the generic JLD2 loader."""
+    from distributedconvrl_pde_control_tpu.utils.jld2 import (
+        julia_array,
+        load_jld2,
+    )
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stored = np.load(os.path.join(
+        pkg, "distributedconvrl_pde_control_tpu", "configs",
+        "data_ks_global_y0.npy"))
+    fresh = julia_array(load_jld2(
+        f"{REF}/KS/KS22_global-agent/y0.jld2", "y0"))
+    assert np.allclose(stored, np.asarray(fresh, np.float64))
+
+
 def test_import_shape_mismatch_raises(tmp_path):
     """Importing a saves dir against the WRONG preset fails loudly with the
     shape diagnostic, not silently."""
