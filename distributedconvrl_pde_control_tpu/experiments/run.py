@@ -298,7 +298,7 @@ def run_dp_batched(args):
         noise_decay_every=args.noise_every or max(1, args.total_steps // setup.loops),
         noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
         chunk_len=args.chunk_len or 50,
-        verbose=True, eval_every=args.eval_every)
+        verbose=True, eval_every=args.eval_every, eval_steps=args.eval_steps)
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
     acfg = setup.agent.cfg
@@ -407,6 +407,10 @@ def main(argv=None):
                          "loop; saves the same checkpoint format")
     ap.add_argument("--total-steps", type=int, default=2000,
                     help="fused env steps for --batched training")
+    ap.add_argument("--eval-steps", type=int, default=50,
+                    help="deterministic-eval episode length (env steps) for "
+                         "--batched --eval-every runs; lengthen it to align "
+                         "best-actor selection with long-horizon quality")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="deterministic eval cadence (steps) for --batched")
     ap.add_argument("--noise-every", type=int, default=None,
@@ -617,7 +621,8 @@ def main(argv=None):
             noise_decay_every=args.noise_every or max(1, args.total_steps // setup.loops),
             noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
             chunk_len=args.chunk_len or 50,
-            verbose=True, eval_every=args.eval_every, warm_start=warm)
+            verbose=True, eval_every=args.eval_every,
+            eval_steps=args.eval_steps, warm_start=warm)
         acfg = setup.agent.cfg
         ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
                             replay=replay_init(1, acfg.ns, acfg.na_rows),
