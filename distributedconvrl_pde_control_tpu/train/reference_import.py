@@ -237,6 +237,13 @@ def import_reference_checkpoint(saves_dir: str, setup, out_dir: Optional[str] = 
     elif not hook.rewards_compare:
         # keep the best gate intact even if the history column was skipped
         hook.rewards_compare = [info["bestreward"]]
+    ee = info.get("errored_episodes")
+    if isinstance(ee, (list, np.ndarray)):
+        try:
+            hook.errored_episodes = [
+                int(e) for e in np.atleast_1d(np.asarray(ee, np.int64))]
+        except (TypeError, ValueError):
+            pass  # undecodable column — leave the fresh hook's empty list
 
     if out_dir is not None:
         checkpoint.save(out_dir, ts, hook, include_replay=False)
