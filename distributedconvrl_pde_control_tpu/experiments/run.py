@@ -326,6 +326,15 @@ def main(argv=None):
                            "the test_setup objective (KSglobalSetup.jl:405)")
     ap.add_argument("--hyperopt-episodes", type=int, default=30,
                     help="episodes per hyperopt trial (reference uses 100)")
+    ap.add_argument("--hyperopt-robust", type=int, metavar="N_INITS",
+                    default=None,
+                    help="score trials with the OOD-robust objective instead "
+                         "of the reference's test_setup cost: after training, "
+                         "the trial's best policy is evaluated "
+                         "deterministically on N_INITS held-out random "
+                         "initial conditions (fixes the measured blind spot "
+                         "where test_setup winners don't transfer OOD — "
+                         "RESULTS.md)")
     ap.add_argument("--loops", type=int, default=None)
     ap.add_argument("--no-steps", type=int, default=None)
     ap.add_argument("--n-experiments", type=int, default=2,
@@ -481,9 +490,18 @@ def main(argv=None):
         if args.preset not in bases:
             raise SystemExit(f"--hyperopt supports {sorted(bases)}")
         cfg, build_fn = bases[args.preset]
+        objective = None
+        if args.hyperopt_robust:
+            import functools
+
+            from distributedconvrl_pde_control_tpu.train.drivers import (
+                hyperopt_objective_robust,
+            )
+            objective = functools.partial(hyperopt_objective_robust,
+                                          n_eval_inits=args.hyperopt_robust)
         search(cfg, build_fn, n_trials=args.hyperopt,
                seed=args.seed if args.seed is not None else 0,
-               n_episodes=args.hyperopt_episodes)
+               n_episodes=args.hyperopt_episodes, objective=objective)
         return
 
     # artifacts trained off-preset (hyperopt winners) ship a

@@ -194,3 +194,45 @@ def hyperopt_objective(setup: Setup, n_episodes: int = 100) -> float:
     tail = np.asarray(hook.rewards[-max(1, int(n_episodes * 0.5)) :], dtype=np.float64)
     bonus = np.sum((tail > -0.1) * (tail + 0.1))
     return float(-tail.mean() - bonus)
+
+
+def hyperopt_objective_robust(setup: Setup, n_episodes: int = 30,
+                              n_eval_inits: int = 4,
+                              eval_seed0: int = 10_000) -> float:
+    """OOD-robust search objective (extension; no reference equivalent).
+
+    The reference's `test_setup` cost (KSglobalSetup.jl:405-426) scores the
+    NOISY TRAINING episodes of the candidate run itself, which rewards fast
+    convergence on the training-init stream — measured three times in this
+    repo (KS22 / KS200 / Keller-Segel searches, RESULTS.md) to NOT select
+    for out-of-distribution robustness: every standard-objective winner
+    dominates the search cost yet trails the hand-tuned recipes on unseen
+    random initial conditions.
+
+    This objective trains the candidate identically (same budget, same
+    seeded stream), then scores the TRAINED policy the way the artifact
+    tables do: deterministic rollouts (best-actor swap-in, no noise) from
+    `n_eval_inits` held-out random initial conditions. Cost is the mean
+    over inits of -mean step reward, with steps after an early blow-up
+    termination filled at -max_value so diverging policies rank last
+    instead of being truncated out of the mean.
+    """
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+
+    ts, hook, _ = run_episodes(setup, n_episodes)
+    actor = (hook.best_actor if hook.best_actor is not None
+             else jax.tree.map(np.asarray, ts.agent.actor))
+    policy = actor_policy(setup.agent, actor, setup.agent.cfg.act_limit)
+    penalty = -float(setup.env.max_value)
+    costs = []
+    for i in range(n_eval_inits):
+        k = jax.random.PRNGKey(eval_seed0 + i)
+        y0 = (setup.random_init(k) if setup.random_init is not None
+              else jnp.asarray(setup.env.y0))
+        tr = rollout(setup.env, policy, y0=y0, key=k, record_fields=False)
+        r = np.asarray(tr["reward"], np.float64)
+        r = r.reshape(r.shape[0], -1).mean(axis=1)  # mean over actuators
+        active = np.asarray(tr["active"], bool)
+        r = np.where(active & np.isfinite(r), r, penalty)
+        costs.append(-float(r.mean()))
+    return float(np.mean(costs))

@@ -54,15 +54,18 @@ def sample_trial(rng: np.random.Generator, space=None) -> dict:
 
 def search(base_cfg, build_fn: Callable, n_trials: int = 8, seed: int = 0,
            n_episodes: int = 30, space: Optional[dict] = None,
-           verbose: bool = True):
+           verbose: bool = True, objective: Optional[Callable] = None):
     """Random search: `n_trials` sampled configs, each scored by
-    `hyperopt_objective` (lower = better). Returns (best dict, all trials).
+    `objective(setup, n_episodes=...)` (lower = better; defaults to the
+    reference's `hyperopt_objective`, see also `hyperopt_objective_robust`).
+    Returns (best dict, all trials).
 
     `build_fn(cfg) -> Setup` (e.g. configs.build_ks_global); `base_cfg` a
     dataclass config whose fields the sampled trial overrides.
     """
     from distributedconvrl_pde_control_tpu.train.drivers import hyperopt_objective
 
+    score = objective if objective is not None else hyperopt_objective
     rng = np.random.default_rng(seed)
     trials = []
     best = {"cost": np.inf, "params": None, "trial": -1}
@@ -71,7 +74,7 @@ def search(base_cfg, build_fn: Callable, n_trials: int = 8, seed: int = 0,
         cfg = dataclasses.replace(base_cfg, **params)
         t0 = time.time()
         try:
-            cost = hyperopt_objective(build_fn(cfg), n_episodes=n_episodes)
+            cost = score(build_fn(cfg), n_episodes=n_episodes)
         except Exception as e:  # a diverging config is a bad trial, not a crash
             cost = float("inf")
             params = {**params, "error": repr(e)[:200]}

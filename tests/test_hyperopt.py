@@ -59,3 +59,17 @@ def test_search_tracks_best_and_survives_bad_trials(monkeypatch):
     assert len(trials) == 3
     assert trials[1]["cost"] is None and "error" in trials[1]
     assert best["trial"] == 2 and best["cost"] == 7.0
+
+    # an explicit objective callable overrides the default scorer
+    # (the CLI's --hyperopt-robust path)
+    seen = []
+
+    def custom(setup, n_episodes):
+        seen.append(n_episodes)
+        return float(len(seen))
+
+    best, trials = search(Cfg(), build_fn=lambda cfg: cfg, n_trials=2,
+                          seed=0, n_episodes=5, verbose=False,
+                          objective=custom)
+    assert seen == [5, 5]
+    assert best["trial"] == 0 and best["cost"] == 1.0

@@ -71,3 +71,23 @@ def test_hyperopt_objective_runs():
     setup = build_ks(KS22)
     cost = hyperopt_objective(setup, n_episodes=4)
     assert np.isfinite(cost)
+
+
+def test_hyperopt_objective_robust_runs_and_is_deterministic():
+    """The OOD-robust objective trains, then scores the best actor on
+    held-out random inits; same setup + seeds => same cost."""
+    from distributedconvrl_pde_control_tpu.train.drivers import (
+        hyperopt_objective_robust,
+    )
+
+    setup = build_ks(KS22)
+    c1 = hyperopt_objective_robust(setup, n_episodes=2, n_eval_inits=2)
+    assert np.isfinite(c1)
+    # rewards are <= 0, so -mean over steps must be >= 0
+    assert c1 >= 0.0
+    c2 = hyperopt_objective_robust(build_ks(KS22), n_episodes=2, n_eval_inits=2)
+    assert c1 == c2
+    # a different held-out init set scores differently (the inits matter)
+    c3 = hyperopt_objective_robust(build_ks(KS22), n_episodes=2, n_eval_inits=2,
+                                   eval_seed0=20_000)
+    assert c3 != c1
