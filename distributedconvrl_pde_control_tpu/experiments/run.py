@@ -307,7 +307,7 @@ def run_dp_batched(args):
                         replay=replay_init(1, acfg.ns, acfg.na_rows),
                         key=np.asarray(ts.key[0]))
     checkpoint.save(out_dir, ts_std, hook, include_replay=False,
-                    config_overrides=overrides)
+                    config_overrides=overrides, backend=args.ckpt_backend)
     print(hook.ascii_curve())
     print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} @ ep "
           f"{hook.bestepisode}; {int(ts.total_env_steps)} env steps over "
@@ -335,6 +335,11 @@ def main(argv=None):
                          "initial conditions (fixes the measured blind spot "
                          "where test_setup winners don't transfer OOD — "
                          "RESULTS.md)")
+    ap.add_argument("--ckpt-backend", choices=("msgpack", "orbax"),
+                    default="msgpack",
+                    help="TrainState serialization for --train saves: the "
+                         "default flax-msgpack file or an orbax.checkpoint "
+                         "directory (load auto-detects either)")
     ap.add_argument("--loops", type=int, default=None)
     ap.add_argument("--no-steps", type=int, default=None)
     ap.add_argument("--n-experiments", type=int, default=2,
@@ -646,7 +651,8 @@ def main(argv=None):
                             replay=replay_init(1, acfg.ns, acfg.na_rows),
                             key=np.asarray(ts.key))
         checkpoint.save(out_dir, ts_std, hook, include_replay=False,
-                        config_overrides=overrides)
+                        config_overrides=overrides,
+                        backend=args.ckpt_backend)
         print(hook.ascii_curve())
         if hook.evals:
             print("evals:", [(s, round(r, 4)) for s, r in hook.evals])
@@ -693,7 +699,8 @@ def main(argv=None):
         else:
             ts, hook = train(setup, loops=args.loops, no_steps=args.no_steps, seed=args.seed,
                              ts=ts, hook=hook)
-        checkpoint.save(out_dir, ts, hook, config_overrides=overrides)
+        checkpoint.save(out_dir, ts, hook, config_overrides=overrides,
+                        backend=args.ckpt_backend)
         plotting.plot_rewards_curve(hook.rewards, os.path.join(out_dir, "rewards.png"),
                                     hook.bestepisode)
         print(hook.ascii_curve())
@@ -704,7 +711,8 @@ def main(argv=None):
         best = train_multi(setup, no_episodes=args.no_episodes,
                            n_experiments=args.n_experiments,
                            save_fn=lambda n, ts, hook: checkpoint.save(
-                               out_dir, ts, hook, n, config_overrides=overrides))
+                               out_dir, ts, hook, n, config_overrides=overrides,
+                               backend=args.ckpt_backend))
         print("best rewards per experiment:", best)
         return
 

@@ -9,6 +9,12 @@ to disk, with optional numbering for `train_multi`'s per-experiment saves
 Format: flax msgpack for the TrainState pytree, npz+json for the hook.
 Complex arrays are split to real/imag on save (some TPU runtimes cannot
 transfer complex device buffers to host).
+
+An Orbax backend (SURVEY §5.4's planned ecosystem format) is available via
+`save(..., backend="orbax")`: the TrainState pytree goes through
+`orbax.checkpoint.StandardCheckpointer` (a `saves/agent_orbax*` directory)
+while the hook keeps the shared npz format. `load()` auto-detects which
+backend wrote a checkpoint, so the two are interchangeable on disk.
 """
 
 from __future__ import annotations
@@ -36,9 +42,17 @@ def _paths(dirpath: str, number: Optional[int], light: bool = False):
     )
 
 
+def _orbax_path(dirpath: str, number: Optional[int], light: bool = False) -> str:
+    suffix = "" if number is None else str(number)
+    name = "agent_orbax_light" if light else "agent_orbax"
+    # orbax requires absolute paths
+    return os.path.abspath(os.path.join(dirpath, "saves", f"{name}{suffix}"))
+
+
 def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = None,
          include_replay: bool = True,
-         config_overrides: Optional[dict] = None) -> None:
+         config_overrides: Optional[dict] = None,
+         backend: str = "msgpack") -> None:
     """include_replay=False writes a "light" checkpoint (networks, optimizer
     state, counters — no replay buffer): loading resumes with a fresh buffer,
     which is what shipping pretrained policies needs (the reference's JLD2
@@ -50,7 +64,10 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
     config. Written as `config_overrides.json` in `dirpath`; the CLI's
     --load-from applies it before building the load template, so off-preset
     artifacts stay loadable (the reference has no such problem — JLD2
-    serializes the whole Flux network, KSSetup.jl:378-402)."""
+    serializes the whole Flux network, KSSetup.jl:378-402).
+
+    `backend`: "msgpack" (default) or "orbax" for the TrainState pytree;
+    the hook always uses the shared npz format and `load()` auto-detects."""
     if config_overrides:
         save_config_overrides(dirpath, config_overrides)
     agent_path, hook_path = _paths(dirpath, number, light=not include_replay)
@@ -58,8 +75,22 @@ def save(dirpath: str, ts: TrainState, hook: PDEHook, number: Optional[int] = No
         host_ts = jax.tree.map(to_numpy, ts)
     else:
         host_ts = jax.tree.map(to_numpy, {"agent": ts.agent, "key": ts.key})
-    with open(agent_path, "wb") as f:
-        f.write(serialization.to_bytes(host_ts))
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = _orbax_path(dirpath, number, light=not include_replay)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ck = ocp.StandardCheckpointer()
+        ck.save(path, host_ts)
+        ck.wait_until_finished()
+    elif backend == "msgpack":
+        with open(agent_path, "wb") as f:
+            f.write(serialization.to_bytes(host_ts))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
 
     payload = {
         "rewards": np.asarray(hook.rewards, np.float64),
@@ -148,10 +179,25 @@ def load_ppo(dirpath: str, pstate_template):
 def load(dirpath: str, ts_template: TrainState, number: Optional[int] = None):
     """Returns (TrainState, PDEHook). `ts_template` supplies the pytree
     structure/shapes (build it with `init_train_state` on the same setup).
-    Accepts both full and light checkpoints (light: fresh replay buffer)."""
+    Accepts full and light checkpoints (light: fresh replay buffer) from
+    either backend (msgpack file or orbax directory), auto-detected."""
     agent_path, hook_path = _paths(dirpath, number)
     light_path, _ = _paths(dirpath, number, light=True)
-    if os.path.exists(agent_path):
+    orbax_path = _orbax_path(dirpath, number)
+    orbax_light_path = _orbax_path(dirpath, number, light=True)
+    if os.path.isdir(orbax_path) or os.path.isdir(orbax_light_path):
+        import orbax.checkpoint as ocp
+
+        ck = ocp.StandardCheckpointer()
+        if os.path.isdir(orbax_path):
+            tmpl = jax.tree.map(to_numpy, ts_template)
+            ts = ck.restore(orbax_path, tmpl)
+        else:
+            tmpl = jax.tree.map(
+                to_numpy, {"agent": ts_template.agent, "key": ts_template.key})
+            part = ck.restore(orbax_light_path, tmpl)
+            ts = ts_template.replace(agent=part["agent"], key=part["key"])
+    elif os.path.exists(agent_path):
         with open(agent_path, "rb") as f:
             ts = serialization.from_bytes(ts_template, f.read())
         # Older full checkpoints stored replay state/action arrays row-major

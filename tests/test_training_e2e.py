@@ -92,6 +92,34 @@ def test_checkpoint_roundtrip(trained, tmp_path):
                        np.asarray(ts.agent.critic[0]["w"]))
 
 
+def test_checkpoint_orbax_backend_roundtrip(trained, tmp_path):
+    """The orbax backend (SURVEY §5.4's planned ecosystem format) is
+    on-disk interchangeable with the default: save(backend='orbax'),
+    load() auto-detects. Full (replay included) and light variants."""
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    setup, ts, hook = trained
+    full_dir, light_dir = tmp_path / "full", tmp_path / "light"
+    checkpoint.save(str(full_dir), ts, hook, backend="orbax")
+    assert (full_dir / "saves" / "agent_orbax").is_dir()
+    assert not (full_dir / "saves" / "agent.msgpack").exists()
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts2, hook2 = checkpoint.load(str(full_dir), template)
+    for a, b in zip(ts.agent.actor, ts2.agent.actor):
+        assert np.allclose(np.asarray(a["w"]), np.asarray(b["w"]))
+    assert np.allclose(np.asarray(ts2.replay.s), np.asarray(ts.replay.s))
+    assert int(ts2.replay.size) == int(ts.replay.size)
+    assert hook2.bestreward == hook.bestreward
+
+    checkpoint.save(str(light_dir), ts, hook, include_replay=False,
+                    backend="orbax")
+    ts3, _ = checkpoint.load(str(light_dir), template)
+    for a, b in zip(ts.agent.target_critic, ts3.agent.target_critic):
+        assert np.allclose(np.asarray(a["w"]), np.asarray(b["w"]))
+    assert int(ts3.replay.size) == 0  # light: fresh buffer
+
+
 def test_shipped_artifact_stabilizes():
     """The committed pretrained KS22 checkpoint must reproduce stabilization
     (the reference's `evaluation = true` flow with shipped saves)."""
