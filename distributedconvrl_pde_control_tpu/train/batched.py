@@ -63,6 +63,14 @@ class BatchedTrainerConfig:
     update_loops: int = 1  # gradient steps per env step (20 in fidelity mode)
     update_every: int = 1
     min_best_episode: int = 0  # PDEhook gate (PDEhook.jl:66)
+    # carry EnvState.obs flattened to (ns*n_act,) per env across the scan:
+    # a vmapped (B, ns, n_act) obs array tiles its two tiny minor dims to
+    # (8, 128) — ~43x its logical bytes on the KS family — so every write
+    # (featurize) and read (the flat-column relayout) of the padded array
+    # moves tens of MB/step at 16k envs. The flat carry keeps the same
+    # logical values (reshape on the way into featurize, reshape back out);
+    # bitwise-equivalent by the equality test in tests/test_batched.py.
+    flat_obs_state: bool = False
 
 
 class BatchedTrainer:
@@ -80,8 +88,32 @@ class BatchedTrainer:
         self.cfg = cfg
         self.random_init = random_init
         self.y0_pool = None if y0_pool is None else jnp.asarray(y0_pool)
-        self._reset1 = lambda y0: env.reset(y0)
-        self._step1 = env.step
+        if cfg.flat_obs_state:
+            acfg = agent.cfg
+            ns, n_act = acfg.ns, acfg.n_actuators
+
+            def _reset1(y0):
+                es = env.reset(y0)
+                return es.replace(obs=es.obs.reshape(ns * n_act))
+
+            def _step1(es, a):
+                es = env.step(es.replace(obs=es.obs.reshape(ns, n_act)), a)
+                return es.replace(obs=es.obs.reshape(ns * n_act))
+
+            self._reset1, self._step1 = _reset1, _step1
+        else:
+            self._reset1 = lambda y0: env.reset(y0)
+            self._step1 = env.step
+
+    def _obs_cols(self, obs_batch):
+        """(B, ...) vmapped obs -> the (ns, B*n_act) flat column view the
+        policy/replay consume (one relayout per step; LAYOUT note above)."""
+        acfg = self.agent.cfg
+        B = obs_batch.shape[0]
+        if self.cfg.flat_obs_state:
+            obs_batch = obs_batch.reshape(B, acfg.ns, acfg.n_actuators)
+        return jnp.moveaxis(obs_batch, 0, 1).reshape(
+            acfg.ns, B * acfg.n_actuators)
 
     def _fresh_y0s(self, key, n):
         if self.y0_pool is not None:
@@ -121,8 +153,7 @@ class BatchedTrainer:
         # slightly larger buffer is semantically benign
         push = self.cfg.n_envs * acfg.n_actuators
         capacity = ((acfg.capacity + push - 1) // push) * push
-        obs_flat = jnp.moveaxis(env_states.obs, 0, 1).reshape(
-            acfg.ns, self.cfg.n_envs * acfg.n_actuators)
+        obs_flat = self._obs_cols(env_states.obs)
         return BatchedTrainState(
             agent=astate,
             replay=replay_init(capacity, acfg.ns, acfg.na_rows),
@@ -188,7 +219,7 @@ class BatchedTrainer:
 
         estates = jax.lax.cond(jnp.any(done), do_reset, lambda op: op[0],
                                (new_estates, k_reset))
-        new_obs_flat = jnp.moveaxis(estates.obs, 0, 1).reshape(acfg.ns, B * n_act)
+        new_obs_flat = self._obs_cols(estates.obs)
 
         # push B*n_act transitions. `sn` is the POST-reset observation: for
         # non-terminal rows it equals the post-step observation, and for
@@ -327,8 +358,7 @@ class BatchedTrainer:
 
             def body(carry, _):
                 estates = carry
-                obs_flat = jnp.moveaxis(estates.obs, 0, 1).reshape(
-                    acfg.ns, B * acfg.n_actuators)
+                obs_flat = self._obs_cols(estates.obs)
                 a_flat = jnp.clip(agent.actor_apply(actor, obs_flat),
                                   -acfg.act_limit, acfg.act_limit)
                 actions = jnp.moveaxis(

@@ -180,3 +180,46 @@ def test_packed_record_roundtrip():
     assert h1.rewards == h2.rewards
     assert h1.rewards_compare == h2.rewards_compare
     assert h1.errored_episodes == h2.errored_episodes
+
+
+def test_flat_obs_state_is_bitwise_equivalent():
+    """flat_obs_state carries EnvState.obs as (ns*n_act,) per env — a pure
+    layout change (reshape into/out of featurize). Agent params, replay
+    contents, and chunk records must match the default path BITWISE."""
+    setup = build_ks(KS22)
+
+    def run(flat):
+        trainer = BatchedTrainer(
+            setup.env, setup.agent,
+            BatchedTrainerConfig(n_envs=8, batch_size=64, update_loops=1,
+                                 flat_obs_state=flat),
+            random_init=ks_random_init(KS22),
+        )
+        ts = trainer.init(jax.random.PRNGKey(5))
+        chunk = trainer.make_chunk_fn(60)  # crosses an episode boundary
+        ts, recs = chunk(ts)
+        return ts, np.asarray(recs)
+
+    ts_a, recs_a = run(False)
+    ts_b, recs_b = run(True)
+    assert np.array_equal(recs_a, recs_b)
+    for a, b in zip(ts_a.agent.actor, ts_b.agent.actor):
+        assert np.array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+        assert np.array_equal(np.asarray(a["b"]), np.asarray(b["b"]))
+    for a, b in zip(ts_a.agent.critic, ts_b.agent.critic):
+        assert np.array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+    assert np.array_equal(np.asarray(ts_a.replay.s), np.asarray(ts_b.replay.s))
+    assert np.array_equal(np.asarray(ts_a.replay.sn), np.asarray(ts_b.replay.sn))
+    assert np.array_equal(np.asarray(ts_a.obs_flat), np.asarray(ts_b.obs_flat))
+    # the carried per-env obs really is flat in the new mode
+    assert ts_b.env_states.obs.ndim == 2 and ts_a.env_states.obs.ndim == 3
+    # and the deterministic eval path agrees too
+    ta = BatchedTrainer(setup.env, setup.agent,
+                        BatchedTrainerConfig(n_envs=8, flat_obs_state=False),
+                        random_init=ks_random_init(KS22))
+    tb = BatchedTrainer(setup.env, setup.agent,
+                        BatchedTrainerConfig(n_envs=8, flat_obs_state=True),
+                        random_init=ks_random_init(KS22))
+    ra = ta.eval_mean_reward(ts_a.agent.actor, 25, key=jax.random.PRNGKey(2))
+    rb = tb.eval_mean_reward(ts_b.agent.actor, 25, key=jax.random.PRNGKey(2))
+    assert ra == rb
