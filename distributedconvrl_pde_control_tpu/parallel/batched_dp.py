@@ -139,8 +139,9 @@ class DPBatchedTrainer:
         acfg = self.agent.cfg
         astate = self.agent.init_state(k_agent)
         env_states = self.local._fresh_states(k_envs, self.cfg.n_envs)
-        obs_flat = jnp.moveaxis(env_states.obs, 0, 1).reshape(
-            acfg.ns, self.cfg.n_envs * acfg.n_actuators)
+        # _obs_cols (not a bare moveaxis) so the flat_obs_state carried
+        # layout relayouts correctly here too
+        obs_flat = self.local._obs_cols(env_states.obs)
         ts = BatchedTrainState(
             agent=astate,
             replay=replay_init(self.capacity_local * self.n_dp, acfg.ns,

@@ -71,6 +71,12 @@ class BatchedTrainerConfig:
     # logical values (reshape on the way into featurize, reshape back out);
     # bitwise-equivalent by the equality test in tests/test_batched.py.
     flat_obs_state: bool = False
+    # same relayout story for EnvState.action/delta_action: the vmapped
+    # (B, na_rows, n_act) carries pad to (B, 8, 128) tiles — 128x the
+    # logical bytes when na_rows=1 (KS) — and are rewritten every step.
+    # Flat mode carries them as (na_rows*n_act,) per env and feeds the
+    # env step a flat action row (reshaped back before prepare_action).
+    flat_action_state: bool = False
 
 
 class BatchedTrainer:
@@ -88,17 +94,37 @@ class BatchedTrainer:
         self.cfg = cfg
         self.random_init = random_init
         self.y0_pool = None if y0_pool is None else jnp.asarray(y0_pool)
-        if cfg.flat_obs_state:
+        if cfg.flat_obs_state or cfg.flat_action_state:
             acfg = agent.cfg
             ns, n_act = acfg.ns, acfg.n_actuators
+            na_rows = acfg.na_rows
+            fo, fa = cfg.flat_obs_state, cfg.flat_action_state
+
+            def _pack(es):
+                if fo:
+                    es = es.replace(obs=es.obs.reshape(ns * n_act))
+                if fa:
+                    es = es.replace(
+                        action=es.action.reshape(na_rows * n_act),
+                        delta_action=es.delta_action.reshape(na_rows * n_act))
+                return es
+
+            def _unpack(es):
+                if fo:
+                    es = es.replace(obs=es.obs.reshape(ns, n_act))
+                if fa:
+                    es = es.replace(
+                        action=es.action.reshape(na_rows, n_act),
+                        delta_action=es.delta_action.reshape(na_rows, n_act))
+                return es
 
             def _reset1(y0):
-                es = env.reset(y0)
-                return es.replace(obs=es.obs.reshape(ns * n_act))
+                return _pack(env.reset(y0))
 
             def _step1(es, a):
-                es = env.step(es.replace(obs=es.obs.reshape(ns, n_act)), a)
-                return es.replace(obs=es.obs.reshape(ns * n_act))
+                if fa:
+                    a = a.reshape(na_rows, n_act)
+                return _pack(env.step(_unpack(es), a))
 
             self._reset1, self._step1 = _reset1, _step1
         else:
@@ -114,6 +140,17 @@ class BatchedTrainer:
             obs_batch = obs_batch.reshape(B, acfg.ns, acfg.n_actuators)
         return jnp.moveaxis(obs_batch, 0, 1).reshape(
             acfg.ns, B * acfg.n_actuators)
+
+    def _actions_env(self, actions_flat, B):
+        """(na_rows, B*n_act) policy output -> the per-env action batch the
+        vmapped step consumes: (B, na_rows, n_act), or its flat
+        (B, na_rows*n_act) row when flat_action_state (LAYOUT note above)."""
+        acfg = self.agent.cfg
+        a = jnp.moveaxis(
+            actions_flat.reshape(acfg.na_rows, B, acfg.n_actuators), 1, 0)
+        if self.cfg.flat_action_state:
+            a = a.reshape(B, acfg.na_rows * acfg.n_actuators)
+        return a
 
     def _fresh_y0s(self, key, n):
         if self.y0_pool is not None:
@@ -190,7 +227,7 @@ class BatchedTrainer:
         obs_flat = ts.obs_flat
         astate = ts.agent.replace(update_step=ts.agent.update_step + 1)
         actions_flat = agent.act(astate, obs_flat, k_act, learning=True)
-        actions = jnp.moveaxis(actions_flat.reshape(acfg.na_rows, B, n_act), 1, 0)
+        actions = self._actions_env(actions_flat, B)
 
         # env step (vmapped)
         new_estates = jax.vmap(self._step1)(estates, actions)
@@ -361,8 +398,7 @@ class BatchedTrainer:
                 obs_flat = self._obs_cols(estates.obs)
                 a_flat = jnp.clip(agent.actor_apply(actor, obs_flat),
                                   -acfg.act_limit, acfg.act_limit)
-                actions = jnp.moveaxis(
-                    a_flat.reshape(acfg.na_rows, B, acfg.n_actuators), 1, 0)
+                actions = self._actions_env(a_flat, B)
                 active = jnp.logical_not(estates.done)
                 new_estates = jax.vmap(self._step1)(estates, actions)
                 estates = jax.tree.map(

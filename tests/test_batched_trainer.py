@@ -183,8 +183,9 @@ def test_packed_record_roundtrip():
 
 
 def test_flat_obs_state_is_bitwise_equivalent():
-    """flat_obs_state carries EnvState.obs as (ns*n_act,) per env — a pure
-    layout change (reshape into/out of featurize). Agent params, replay
+    """flat_obs_state / flat_action_state carry EnvState.obs (resp.
+    action/delta_action) as flat per-env rows — pure layout changes
+    (reshape into/out of featurize / prepare_action). Agent params, replay
     contents, and chunk records must match the default path BITWISE."""
     setup = build_ks(KS22)
 
@@ -192,7 +193,7 @@ def test_flat_obs_state_is_bitwise_equivalent():
         trainer = BatchedTrainer(
             setup.env, setup.agent,
             BatchedTrainerConfig(n_envs=8, batch_size=64, update_loops=1,
-                                 flat_obs_state=flat),
+                                 flat_obs_state=flat, flat_action_state=flat),
             random_init=ks_random_init(KS22),
         )
         ts = trainer.init(jax.random.PRNGKey(5))
@@ -211,14 +212,18 @@ def test_flat_obs_state_is_bitwise_equivalent():
     assert np.array_equal(np.asarray(ts_a.replay.s), np.asarray(ts_b.replay.s))
     assert np.array_equal(np.asarray(ts_a.replay.sn), np.asarray(ts_b.replay.sn))
     assert np.array_equal(np.asarray(ts_a.obs_flat), np.asarray(ts_b.obs_flat))
-    # the carried per-env obs really is flat in the new mode
+    # the carried per-env obs/action really are flat in the new mode
     assert ts_b.env_states.obs.ndim == 2 and ts_a.env_states.obs.ndim == 3
+    assert ts_b.env_states.action.ndim == 2 and ts_a.env_states.action.ndim == 3
+    assert np.array_equal(np.asarray(ts_a.env_states.action).reshape(8, -1),
+                          np.asarray(ts_b.env_states.action))
     # and the deterministic eval path agrees too
     ta = BatchedTrainer(setup.env, setup.agent,
                         BatchedTrainerConfig(n_envs=8, flat_obs_state=False),
                         random_init=ks_random_init(KS22))
     tb = BatchedTrainer(setup.env, setup.agent,
-                        BatchedTrainerConfig(n_envs=8, flat_obs_state=True),
+                        BatchedTrainerConfig(n_envs=8, flat_obs_state=True,
+                                             flat_action_state=True),
                         random_init=ks_random_init(KS22))
     ra = ta.eval_mean_reward(ts_a.agent.actor, 25, key=jax.random.PRNGKey(2))
     rb = tb.eval_mean_reward(ts_b.agent.actor, 25, key=jax.random.PRNGKey(2))
