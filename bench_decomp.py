@@ -41,6 +41,16 @@ trainer = BatchedTrainer(setup.env, setup.agent,
 full = timed("full (rollout+push+learn)", trainer, learn=True)
 nolearn = timed("rollout+push (learn=False)", trainer, learn=False)
 
+# flat carried layouts (bitwise-equivalent; tests/test_batched_trainer.py):
+# obs-only, then obs+action
+for label, fo, fa in (("flat obs carry            ", True, False),
+                      ("flat obs+action carry     ", True, True)):
+    timed(label, BatchedTrainer(
+        setup.env, setup.agent,
+        BatchedTrainerConfig(n_envs=N, batch_size=4096, update_loops=1,
+                             flat_obs_state=fo, flat_action_state=fa),
+        random_init=ks_random_init(KS22)), learn=True)
+
 # solver+policy only: time a bare scan of env steps with a fixed actor
 import numpy as np
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
