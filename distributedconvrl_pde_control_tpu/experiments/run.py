@@ -387,6 +387,10 @@ def main(argv=None):
     ap.add_argument("--serve", action="store_true",
                     help="after loading, run the closed-loop serving probe "
                          "(experiments.serve latency report) instead of plots")
+    ap.add_argument("--export-controller", metavar="DIR", default=None,
+                    help="with --eval: AOT-export the deployed obs->action "
+                         "program (weights baked in) as a jax.export/StableHLO "
+                         "artifact for cpu+tpu (experiments/export_controller.py)")
     ap.add_argument("--plot-best", action="store_true",
                     help="render the stored best-episode trace instead of a fresh "
                          "rollout (plot_heat(plot_best=true), plotting.jl)")
@@ -723,6 +727,19 @@ def main(argv=None):
 
         serve.main([args.preset, "--load-from", load_dir]
                    + (["--cpu"] if args.cpu else []))
+        return
+    if args.export_controller:
+        from distributedconvrl_pde_control_tpu.experiments.export_controller import (
+            export_controller,
+        )
+
+        template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+        ts, hook = checkpoint.load(load_dir, template)
+        actor = jax.tree.map(jnp.asarray, hook.best_actor or ts.agent.actor)
+        manifest = export_controller(setup, actor, args.export_controller,
+                                     preset=args.preset)
+        print(f"exported {manifest['platforms']} controller to "
+              f"{args.export_controller} (args: {manifest['args']})")
         return
     if args.import_jld2:
         from distributedconvrl_pde_control_tpu.train.reference_import import (

@@ -157,3 +157,58 @@ def test_serve_probe_smoke():
     assert r.returncode == 0, r.stderr[-2000:]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["latency_ms_p50"] > 0 and stats["headroom_x"] > 0
+
+
+def test_export_controller_roundtrip(tmp_path):
+    """AOT deployment artifact (experiments/export_controller.py): export
+    the shipped KS22 controller via the CLI, reload the StableHLO blob with
+    ONLY load_exported (no setup/checkpoint), and check it computes exactly
+    what the live jitted control_step computes."""
+    import jax
+
+    art = os.path.join(REPO, "artifacts", "KS22")
+    if not os.path.exists(os.path.join(art, "saves")):
+        pytest.skip("artifact not present")
+    out = str(tmp_path / "ctrl")
+    r = run_cli("KS22", "--eval", "--export-controller", out,
+                "--load-from", art, "--cpu", cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "controller.stablehlo"))
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    assert manifest["control_interval_s"] > 0
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.experiments.export_controller import (
+        build_control_step,
+        load_exported,
+    )
+    from distributedconvrl_pde_control_tpu.experiments.run import build_setup
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    exp, _ = load_exported(out)
+    setup = build_setup("KS22")
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    actor = jax.tree.map(jnp.asarray, hook.best_actor or ts.agent.actor)
+    live = jax.jit(build_control_step(setup, actor))
+
+    est = setup.env.reset()
+    a_live, obs_live = live(est.y, est.obs)
+    a_exp, obs_exp = exp.call(est.y, est.obs)
+    np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_exp))
+    np.testing.assert_array_equal(np.asarray(obs_live), np.asarray(obs_exp))
+
+    # and the serving probe runs framework-free off the artifact
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "distributedconvrl_pde_control_tpu.experiments.serve",
+         "KS22", "--from-export", out, "--cpu", "--steps", "5"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["latency_ms_p50"] > 0 and stats["headroom_x"] > 0
