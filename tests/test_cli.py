@@ -212,3 +212,39 @@ def test_export_controller_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["latency_ms_p50"] > 0 and stats["headroom_x"] > 0
+
+
+def test_export_controller_other_families(tmp_path):
+    """The export path is family-generic: Keller-Segel (2-field FD env,
+    rectangle kernels) and fluid (spectral ri state) controllers export and
+    reload to the same outputs as the live program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.experiments.export_controller import (
+        build_control_step,
+        export_controller,
+        load_exported,
+    )
+    from distributedconvrl_pde_control_tpu.experiments.run import build_setup
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    for preset in ("KellerSegel10_16_fast", "Fluid_8"):
+        art = os.path.join(REPO, "artifacts", preset)
+        if not os.path.exists(os.path.join(art, "saves")):
+            pytest.skip(f"artifact {preset} not present")
+        setup = build_setup(preset)
+        template = init_train_state(setup.env, setup.agent,
+                                    jax.random.PRNGKey(0))
+        ts, hook = checkpoint.load(art, template)
+        actor = jax.tree.map(jnp.asarray, hook.best_actor or ts.agent.actor)
+        out = str(tmp_path / preset)
+        export_controller(setup, actor, out, preset=preset)
+        exp, manifest = load_exported(out)
+        est = setup.env.reset()
+        a_live, _ = jax.jit(build_control_step(setup, actor))(est.y, est.obs)
+        a_exp, _ = exp.call(est.y, est.obs)
+        np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_exp))
+        assert manifest["preset"] == preset
