@@ -29,6 +29,26 @@ class RandomPolicy:
         return jax.random.uniform(key, self.action_shape, jnp.float32, -1.0, 1.0)
 
 
+def negate_center_row(featurizer) -> int:
+    """The own-site sensor row of the observation matrix for opposition
+    control — derived from the FEATURIZER, not from obs_dim.
+
+    The current-time window block occupies the FIRST `window_size**2` (2D) /
+    `window_size` (1D) rows of each column (envs/features.py: the new base
+    block is stacked on top, temporal history and action-memory rows follow),
+    and its center row is the sensor at the actuator's own site
+    (FluidSetup.jl:219-223 window layout). Deriving this as `ns // 2` is only
+    correct when temporal_steps == 1 and memory_size == 0 — for a
+    temporal_steps=2 fluid variant (ns=18) it lands on the first row of the
+    SECOND temporal block, silently mis-scoring the opposition baseline
+    (round-3 verdict Weak #5).
+    """
+    ws = int(getattr(featurizer, "window_size", 1))
+    if hasattr(featurizer, "sensors_per_axis"):  # 2D window (fluid family)
+        return (ws * ws) // 2
+    return ws // 2
+
+
 @dataclasses.dataclass(frozen=True)
 class NegatePolicy:
     """Opposition control: each actuator pushes against its own sensor.

@@ -143,6 +143,7 @@ def run_sharded(args) -> None:
         load_actor_for_eval,
         load_sharded,
         save_sharded,
+        train_multi_sharded,
         train_sharded,
     )
 
@@ -187,6 +188,18 @@ def run_sharded(args) -> None:
         trainer = ShardedFluidTrainer(cfg, mesh, tcfg)
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
+
+    if args.train_multi:
+        # the endless-restart protocol on the mesh (FluidSetup.jl:559-601 /
+        # KSSetup.jl:321-363), numbered standard-format saves per experiment
+        best = train_multi_sharded(
+            trainer, no_episodes=args.no_episodes or 17,
+            n_experiments=args.n_experiments,
+            seed=args.seed if args.seed is not None else cfg.seed,
+            save_fn=lambda n, state, hook: save_sharded(
+                out_dir, trainer, state, hook, number=n))
+        print("best rewards per experiment:", best)
+        return
 
     if args.train:
         state = hook = None
@@ -345,9 +358,10 @@ def main(argv=None):
     ap.add_argument("--n-experiments", type=int, default=2,
                     help="--train-multi restart count; 0 = restart endlessly "
                          "(the reference's `while true` budget, KSSetup.jl:322)")
-    ap.add_argument("--no-episodes", type=int, default=2800,
-                    help="--train-multi episodes per experiment "
-                         "(KSSetup.jl:325)")
+    ap.add_argument("--no-episodes", type=int, default=None,
+                    help="--train-multi episodes per experiment (default "
+                         "2800 = KSSetup.jl:325 single-chip; 17 = "
+                         "FluidSetup.jl:559 for the --mesh path)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--out", default=None, help="run directory (default runs/<preset>)")
     ap.add_argument("--load-from", default=None,
@@ -419,6 +433,12 @@ def main(argv=None):
                          "eval rolls out the deterministic mean policy")
     ap.add_argument("--iters", type=int, default=60,
                     help="PPO collect+update iterations for --ppo training")
+    ap.add_argument("--ppo-ref", action="store_true",
+                    help="with --ppo: run the reference-exact protocol "
+                         "(PPOConfig factory defaults = PDEagent.jl:462-512 — "
+                         "10 epochs x 32 microbatches, lr 1e-3, "
+                         "update_freq-sized rollout) instead of the tuned "
+                         "lighter config")
     ap.add_argument("--batched", action="store_true",
                     help="train with the throughput configuration (vmapped "
                          "env batch, fused chunks) instead of the fidelity "
@@ -426,9 +446,12 @@ def main(argv=None):
     ap.add_argument("--total-steps", type=int, default=2000,
                     help="fused env steps for --batched training")
     ap.add_argument("--eval-steps", type=int, default=50,
-                    help="deterministic-eval episode length (env steps) for "
-                         "--batched --eval-every runs; lengthen it to align "
-                         "best-actor selection with long-horizon quality")
+                    help="deterministic-eval rollout length (env steps) for "
+                         "--batched --eval-every runs. Beyond te/dt the eval "
+                         "runs on a horizon-overridden env clone, so e.g. "
+                         "500 on KS measures 500 REAL steps of stabilization "
+                         "(the plot_heat long-horizon metric) and drives "
+                         "best-actor selection on it")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="deterministic eval cadence (steps) for --batched")
     ap.add_argument("--noise-every", type=int, default=None,
@@ -469,9 +492,11 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.mesh:
-        if args.train_multi:
-            raise SystemExit("--train-multi is not supported with --mesh")
         if args.batched:
+            if args.train_multi:
+                raise SystemExit("--train-multi --mesh drives the sharded "
+                                 "trainers; combine it with a plain --mesh, "
+                                 "not --batched")
             return run_dp_batched(args)
         return run_sharded(args)
 
@@ -549,8 +574,16 @@ def main(argv=None):
         )
 
         acfg = setup.agent.cfg
-        pcfg = PPOConfig(ns=acfg.ns, na=acfg.na_rows, rollout_len=50,
-                         n_microbatches=16, n_epochs=4, learning_rate=3e-4)
+        if args.ppo_ref:
+            # the reference-exact protocol: PPOConfig's defaults mirror
+            # create_agent_ppo (PDEagent.jl:462-512 — 10 epochs x 32
+            # microbatches, lr 1e-3, update_freq-sized rollout)
+            pcfg = PPOConfig(ns=acfg.ns, na=acfg.na_rows)
+        else:
+            # the tuned lighter protocol (measured better on the shipped
+            # artifacts; head-to-head RESULTS.md "PPO protocol" row)
+            pcfg = PPOConfig(ns=acfg.ns, na=acfg.na_rows, rollout_len=50,
+                             n_microbatches=16, n_epochs=4, learning_rate=3e-4)
         pagent = PPOAgent(pcfg)
         if args.train:
             # fluid ICs are host-generated -> pool; KS random_init is traceable
@@ -712,7 +745,7 @@ def main(argv=None):
         return
 
     if args.train_multi:
-        best = train_multi(setup, no_episodes=args.no_episodes,
+        best = train_multi(setup, no_episodes=args.no_episodes or 2800,
                            n_experiments=args.n_experiments,
                            save_fn=lambda n, ts, hook: checkpoint.save(
                                out_dir, ts, hook, n, config_overrides=overrides,
@@ -774,10 +807,18 @@ def main(argv=None):
 
     is_fluid = args.preset.startswith("Fluid")
     if is_fluid:
-        from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
+        from distributedconvrl_pde_control_tpu.agents.policies import (
+            NegatePolicy,
+            ZeroPolicy,
+            negate_center_row,
+        )
         from distributedconvrl_pde_control_tpu.train.eval import mean_energy
 
-        neg = NegatePolicy(setup.env.action_shape, center_row=setup.agent.cfg.ns // 2)
+        # center row derived from the featurizer (window^2 // 2 of the
+        # CURRENT temporal block) — ns//2 mis-indexes variant featurizers
+        # with temporal_steps > 1 or memory rows (see negate_center_row)
+        neg = NegatePolicy(setup.env.action_shape,
+                           center_row=negate_center_row(setup.env.featurize))
         zero = ZeroPolicy(setup.env.action_shape)
         runs = {
             "trained": traces,

@@ -635,10 +635,16 @@ class ShardedFluidTrainer:
 # ------------------------------------------------------------------ drivers
 def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
                   no_steps: int | None = None, seed: int = 0,
-                  state: MCState | None = None, hook=None, verbose: bool = True):
+                  state: MCState | None = None, hook=None, verbose: bool = True,
+                  noise_decay: float | None = None, chunk_fn=None):
     """The preset training protocol on the mesh: `loops` rounds of `no_steps`
     fused steps with act_noise decayed per round and rewards clamped
     (FluidSetup.jl:541-556 lifted to chunked SPMD execution).
+
+    `noise_decay` overrides the preset's per-loop factor; `chunk_fn` lets a
+    caller reuse one compiled chunk program across many invocations (the
+    restart driver train_multi_sharded calls this per round — re-making the
+    jitted wrapper each time would retrace).
 
     Returns (MCState, PDEHook). The hook is assembled from the per-chunk
     episode records + the on-device best tracking, in the same format the
@@ -651,12 +657,14 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
     cfg, tcfg = trainer.cfg, trainer.tcfg
     loops = loops if loops is not None else cfg.loops
     no_steps = no_steps if no_steps is not None else cfg.no_steps
+    decay = noise_decay if noise_decay is not None else cfg.noise_decay
     if state is None:
         state = trainer.init(jax.random.PRNGKey(seed), seed=seed)
     if hook is None:
         hook = PDEHook(min_best_episode=cfg.min_best_episode,
                        collect_best_trace=False)
-    chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
+    if chunk_fn is None:
+        chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
 
     noise = float(state.agent.act_noise)
     # DEEP software pipeline (deeper than train_batched, whose ~1 s chunks
@@ -690,11 +698,73 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
                   f"loop {i + 1}/{loops} noise={noise:.4f} "
                   f"best={float(state.best_reward):.4f} eps={int(state.ep_count)} "
                   f"({time.time() - t0:.1f}s)")
-        noise *= cfg.noise_decay
+        noise *= decay
         hook.clamp_rewards(-3000.0, 0.0)
 
     finalize_hook(hook, state)
     return state, hook
+
+
+def train_multi_sharded(trainer: ShardedFluidTrainer, no_episodes: int = 17,
+                        n_experiments: int = 2, save_fn=None, seed: int = 0,
+                        restart_noise: float = 0.17, inner_decay: float = 0.7,
+                        inner_loops: int = 18, verbose: bool = True):
+    """Multi-experiment endless-restart driver ON THE MESH — the sharded
+    twin of train.drivers.train_multi.
+
+    Mirrors the reference's fluid train_multi (FluidSetup.jl:559-601; the KS
+    variant KSSetup.jl:321-363 differs only in constants): each experiment
+    re-seeds and re-initializes everything, then runs rounds of ONE episode's
+    worth of fused steps with act_noise reset to `restart_noise` every
+    `inner_loops` rounds and decayed by `inner_decay` per round, until the
+    hook has recorded `no_episodes` finished episodes; the experiment is then
+    checkpointed via `save_fn(n_experiment, state, hook)` (numbered
+    save_sharded) and its best reward collected. `n_experiments <= 0`
+    restarts endlessly (the reference's `while true`; each experiment's
+    checkpoint is already saved by the time you Ctrl-C).
+
+    Note the episode accounting is per-ENV: with n_envs environments on the
+    dp axis, one episode-length round finishes n_envs episodes at once, so
+    `no_episodes` is reached n_envs x faster in wall-rounds than the
+    reference's single-env count — the restart protocol (schedule shape,
+    numbered saves) is what's being reproduced, not the single-env pacing.
+    """
+    from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+
+    cfg, tcfg = trainer.cfg, trainer.tcfg
+    episode_steps = int(round((cfg.te - cfg.t0) / cfg.dt))
+    chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
+    best_rewards = []
+    n_exp = 0
+    while True:
+        n_exp += 1
+        if n_experiments > 0 and n_exp > n_experiments:
+            break
+        exp_seed = seed + 7919 * n_exp  # fresh stream per experiment
+        state = trainer.init(jax.random.PRNGKey(exp_seed), seed=exp_seed)
+        hook = PDEHook(min_best_episode=cfg.min_best_episode,
+                       collect_best_trace=False)
+        if verbose:
+            print(f"--------- STARTING EXPERIMENT # {n_exp} ---------")
+        noise = restart_noise
+        rounds = 0
+        while hook.ep - 1 < no_episodes:
+            if rounds % inner_loops == 0:
+                noise = restart_noise
+            state = state.replace(agent=state.agent.replace(
+                act_noise=jnp.asarray(noise, jnp.float32)))
+            state, hook = train_sharded(trainer, loops=1,
+                                        no_steps=episode_steps, state=state,
+                                        hook=hook, verbose=False,
+                                        noise_decay=1.0, chunk_fn=chunk_fn)
+            noise *= inner_decay
+            rounds += 1
+        best_rewards.append(hook.bestreward)
+        if save_fn is not None:
+            save_fn(n_exp, state, hook)
+        if verbose:
+            print(f"--------- BEST REWARD: {hook.bestreward} ---------")
+    return best_rewards
 
 
 def finalize_hook(hook, state: MCState) -> None:

@@ -109,21 +109,25 @@ class PDEHook:
         if not isinstance(recs, dict):
             recs = unpack_records(recs)
         finished = np.asarray(recs["finished"])
-        completed = np.asarray(recs["completed"])
-        ep_reward = np.asarray(recs["ep_reward"])
+        # vectorized over the whole chunk: a row-major flatnonzero walks the
+        # (n_steps, n_envs) grid step-major then env-index order — exactly
+        # the order the former per-row Python loop appended in. At bench
+        # scale (16k envs, x n_dp record width under the DP trainer) the
+        # nested loop was the host-side cliff the pipeline had to hide
+        # (round-3 verdict Weak #4).
+        idx = np.flatnonzero(finished.ravel())
+        if idx.size == 0:
+            return
+        r = np.asarray(recs["ep_reward"], np.float64).ravel()[idx]
+        comp = np.asarray(recs["completed"], bool).ravel()[idx]
         errored = recs.get("errored")
-        errored = (np.asarray(errored) if errored is not None
-                   else np.zeros_like(finished, dtype=bool))
-        for t in range(finished.shape[0]):
-            fin = finished[t]
-            for r, comp, err in zip(ep_reward[t][fin], completed[t][fin],
-                                    errored[t][fin]):
-                self.rewards.append(float(r))
-                if comp:
-                    self.rewards_compare.append(float(r))
-                if err:
-                    self.errored_episodes.append(self.ep)
-                self.ep += 1
+        ep0 = self.ep
+        self.rewards.extend(r.tolist())
+        self.rewards_compare.extend(r[comp].tolist())
+        if errored is not None:
+            err = np.asarray(errored, bool).ravel()[idx]
+            self.errored_episodes.extend((ep0 + np.flatnonzero(err)).tolist())
+        self.ep = ep0 + int(idx.size)
 
     def adopt_device_best(self, best_reward, best_episode, best_actor) -> None:
         """Copy on-device best tracking (batched/sharded trainers) into the

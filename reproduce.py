@@ -152,7 +152,11 @@ def main():
         return
 
     # --- fluid energy comparisons
-    from distributedconvrl_pde_control_tpu.agents.policies import NegatePolicy, ZeroPolicy
+    from distributedconvrl_pde_control_tpu.agents.policies import (
+        NegatePolicy,
+        ZeroPolicy,
+        negate_center_row,
+    )
     from distributedconvrl_pde_control_tpu.train.eval import actor_policy, energy_eval
 
     for name, builder in [("Fluid_8", lambda: C.build_fluid(C.FLUID_8)),
@@ -166,7 +170,7 @@ def main():
         # don't average their frozen terminal frame
         e_t = energy_eval(env, actor_policy(setup.agent, actor), te=2.0)["mean_energy"]
         e_n = energy_eval(env, NegatePolicy(env.action_shape,
-                                            center_row=setup.agent.cfg.ns // 2),
+                                            center_row=negate_center_row(env.featurize)),
                           te=2.0)["mean_energy"]
         e_0 = energy_eval(env, ZeroPolicy(env.action_shape), te=2.0)["mean_energy"]
         print(json.dumps({"row": f"{name} energy", "trained": round(float(e_t), 3),

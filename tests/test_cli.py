@@ -248,3 +248,22 @@ def test_export_controller_other_families(tmp_path):
         a_exp, _ = exp.call(est.y, est.obs)
         np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_exp))
         assert manifest["preset"] == preset
+
+@pytest.mark.slow
+def test_cli_train_multi_sharded(tmp_path):
+    """--train-multi under --mesh (round-3 verdict item 8): the endless-
+    restart protocol (FluidSetup.jl:559-601 / KSSetup.jl:321-363) drives the
+    sharded trainer with numbered standard-format saves per experiment."""
+    out = str(tmp_path / "run")
+    r = run_cli("Fluid_8", "--train-multi", "--mesh", "1x1",
+                "--virtual-devices", "1", "--nx", "16", "--horizon", "0.4",
+                "--n-envs", "2", "--no-episodes", "4", "--n-experiments", "2",
+                "--chunk-len", "10", "--capacity-per-dp", "2048",
+                "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best rewards per experiment" in r.stdout
+    assert "STARTING EXPERIMENT # 2" in r.stdout
+    for n in (1, 2):
+        assert os.path.exists(
+            os.path.join(out, "saves", f"agent_light{n}.msgpack"))
+        assert os.path.exists(os.path.join(out, "saves", f"hook{n}.npz"))

