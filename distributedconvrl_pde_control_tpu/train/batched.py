@@ -69,14 +69,17 @@ class BatchedTrainerConfig:
     # (featurize) and read (the flat-column relayout) of the padded array
     # moves tens of MB/step at 16k envs. The flat carry keeps the same
     # logical values (reshape on the way into featurize, reshape back out);
-    # bitwise-equivalent by the equality test in tests/test_batched.py.
-    flat_obs_state: bool = False
+    # bitwise-equivalent by the equality test in
+    # tests/test_batched_trainer.py. DEFAULT ON since round 4: measured
+    # on-chip at the 16k-env bench config, 28.5 -> 31.6M env steps/s
+    # (+11% with flat_action_state; PERFORMANCE.md flat-carry note).
+    flat_obs_state: bool = True
     # same relayout story for EnvState.action/delta_action: the vmapped
     # (B, na_rows, n_act) carries pad to (B, 8, 128) tiles — 128x the
     # logical bytes when na_rows=1 (KS) — and are rewritten every step.
     # Flat mode carries them as (na_rows*n_act,) per env and feeds the
     # env step a flat action row (reshaped back before prepare_action).
-    flat_action_state: bool = False
+    flat_action_state: bool = True
 
 
 class BatchedTrainer:
@@ -511,7 +514,15 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     steps_done = 0
     next_decay = noise_decay_every if noise_decay_every else None
     next_eval = eval_every if eval_every else None
-    best_eval = None  # (mean step reward, step, actor params)
+    best_eval = None  # (mean step reward, step, episode, actor params)
+    if warm_start is not None and next_eval is not None:
+        # score the warm-start actor at step 0 so eval-driven selection can
+        # never ship something worse than the imported policy (the round-3
+        # import-fine-tune ledger entry: fine-tuning degraded the
+        # long-horizon metric while the transient eval improved)
+        r0 = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
+        hook.evals.append((0, r0))
+        best_eval = (r0, 0, 0, jax.tree.map(_np.asarray, ts.agent.actor))
     # One-chunk software pipeline: dispatch chunk n+1 BEFORE reading chunk
     # n's records, so the host-side accounting (and the device->host RPC it
     # forces — ~20 ms through the axon tunnel) overlaps the next chunk's
