@@ -467,7 +467,7 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
                   noise_decay_every: int = 0, noise_decay: float = 0.5,
                   chunk_len: int = 50, verbose: bool = False, hook=None,
                   eval_every: int = 0, eval_steps: int = 50,
-                  warm_start: Optional[dict] = None):
+                  warm_start: Optional[dict] = None, pipeline_depth: int = 4):
     """Throughput-mode training driver: run `total_steps` fused steps in
     chunks, optionally decaying the exploration noise every
     `noise_decay_every` steps (the batched analogue of the reference's
@@ -481,6 +481,11 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
     best eval mean STEP reward): with hundreds of noisy episodes finishing
     per chunk, the reference's best-noisy-episode rule (PDEhook.jl:65-76)
     selects exploration luck, not policy quality.
+
+    `pipeline_depth`: how many chunks may be in flight before their records
+    are consumed (drained at the end) — raises tolerance to device->host
+    RPC-latency weather; accounting is order-identical at any depth
+    (tests/test_batched_trainer.py pipelined-accounting test).
 
     Returns (state, hook, mean rewards per chunk).
     """
@@ -523,12 +528,16 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
         r0 = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
         hook.evals.append((0, r0))
         best_eval = (r0, 0, 0, jax.tree.map(_np.asarray, ts.agent.actor))
-    # One-chunk software pipeline: dispatch chunk n+1 BEFORE reading chunk
+    # Software pipeline: dispatch chunks n+1..n+depth BEFORE reading chunk
     # n's records, so the host-side accounting (and the device->host RPC it
-    # forces — ~20 ms through the axon tunnel) overlaps the next chunk's
-    # device compute instead of serializing with it. Measured: the
-    # synchronous loop loses ~33% steady-state throughput (PERFORMANCE.md).
-    pending = None
+    # forces — ~20 ms through the axon tunnel on a calm day, HUNDREDS of ms
+    # under RPC-latency weather) overlaps several chunks of device compute
+    # instead of serializing with it. Depth 1 (the r3 design) loses ~33%
+    # steady-state on a calm tunnel and much more under weather; depth 4 is
+    # the same drain-at-boundary floor the sharded trainer measured
+    # (parallel/multichip.py ShardedTrainConfig.pipeline_depth note).
+    depth = max(1, pipeline_depth)
+    pending: list = []
 
     def _consume(recs):
         rec = unpack_records(recs)
@@ -539,9 +548,9 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
         ts, recs = chunk_fn(ts)
         start_host_copies(recs)  # overlap the per-array RPC latency too
         steps_done += chunk_len
-        if pending is not None:
-            _consume(pending)
-        pending = recs
+        pending.append(recs)
+        if len(pending) > depth:
+            _consume(pending.pop(0))
         if next_decay is not None and steps_done >= next_decay:
             ts = ts.replace(agent=ts.agent.replace(act_noise=ts.agent.act_noise * noise_decay))
             next_decay += noise_decay_every
@@ -558,8 +567,9 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
         if verbose and chunk_means:
             print(f"steps {steps_done}: mean reward {chunk_means[-1]:.4f} "
                   f"noise {float(ts.agent.act_noise):.4f}")
-    if pending is not None:
-        _consume(pending)
+    for recs in pending:
+        _consume(recs)
+    pending.clear()
     if best_eval is not None:
         hook.best_actor = best_eval[3]
         hook.bestreward = best_eval[0]

@@ -169,3 +169,31 @@ def test_shipped_keller_segel_ppo_artifact():
     # uncontrolled holds |u-1| ~ 0.5 over the window; require a real cut
     assert post < 0.35, (pre, post)
     assert post < 0.7 * pre, (pre, post)
+
+
+def test_shipped_ppo_ref_protocol_artifact_stabilizes():
+    """The r04 reference-exact-protocol PPO checkpoint (artifacts/
+    KS22_ppo_ref, trained via `--ppo --ppo-ref` = PPOConfig factory
+    defaults, PDEagent.jl:462-512) reproduces stabilization — RESULTS.md
+    records it at 0.24% suppression, beating the tuned light config."""
+    import os
+
+    import pytest
+
+    from distributedconvrl_pde_control_tpu.agents.ppo import ppo_policy
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22_ppo_ref")
+    if not os.path.exists(os.path.join(art, "saves", "ppo.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS22)
+    agent = PPOAgent(PPOConfig(ns=setup.agent.cfg.ns, na=1))  # factory defaults
+    pstate, info = checkpoint.load_ppo(art, agent.init_state(jax.random.PRNGKey(0)))
+    policy = ppo_policy(agent, info.get("best_params") or agent._params(pstate))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.1 * pre, (pre, post)
