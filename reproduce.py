@@ -98,6 +98,18 @@ def main():
     print(json.dumps({"row": "KS200_batched -> KS500 transfer",
                       **suppression(s500, actor200b, 200.0, 100.0)}))
 
+    # --- r04 long-horizon-selected KS200 record artifact (same gentle
+    # recipe, best actor selected by the 500-step te-overridden eval —
+    # RESULTS.md: 0.34% native, 0.32% -> KS500, 0.35% -> disturbed)
+    s200, actor200lh = load_actor(lambda: C.build_ks(C.KS200),
+                                  "artifacts/KS200_batched_lh")
+    print(json.dumps({"row": "KS200_batched_lh stabilization",
+                      **suppression(s200, actor200lh, 200.0, 100.0)}))
+    print(json.dumps({"row": "KS200_batched_lh -> KS500 transfer",
+                      **suppression(s500, actor200lh, 200.0, 100.0)}))
+    print(json.dumps({"row": "KS200_batched_lh -> mu=0.02 disturbed",
+                      **suppression(sdist, actor200lh, 200.0, 100.0)}))
+
     # --- KS200-scale hyperopt winner (same trial-15 config as KS22;
     # RESULTS.md 'KS200-scale search': 2.12% native / 2.03% -> KS500)
     hw200cfg = dataclasses.replace(

@@ -290,6 +290,34 @@ def test_shipped_ks200_batched_artifact_stabilizes_and_transfers():
     assert post < 0.1 * pre, (pre, post)
 
 
+def test_shipped_ks200_lh_artifact_beats_transfer_gate():
+    """The r04 long-horizon-selected KS200 artifact (same gentle batched
+    recipe as KS200_batched, best actor picked by the 500-step eval on the
+    te-overridden env — RESULTS.md r04 rows: 0.34% native, 0.32% zero-shot
+    on KS500) must pass a TIGHTER transfer gate than the r3 artifact:
+    post < 5% of pre on the 2.5x KS500 domain."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.configs import KS500
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS200_batched_lh")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS500)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.05 * pre, (pre, post)
+
+
 def test_shipped_ks200_hyperopt_artifact_loads_offpreset_and_stabilizes():
     """The KS200 hyperopt-winner artifact is trained OFF-preset (searched
     nna_scale/critic width — RESULTS.md 'KS200-scale search'), so loading it
