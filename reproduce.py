@@ -60,6 +60,13 @@ def main():
     print(json.dumps({"row": "KS22_tp (throughput-tier-trained) stabilization",
                       **suppression(setup, actor_tp, 200.0, 100.0)}))
 
+    # --- r04 long-horizon-selected KS22 record artifact (gentle x0.5/1000
+    # schedule at HALF the old gentle budget + 500-step eval selection —
+    # RESULTS.md: 0.24%/2.45%/0.27% across training seeds 59/11/23)
+    setup, actor_lh = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22_batched_lh")
+    print(json.dumps({"row": "KS22_batched_lh stabilization",
+                      **suppression(setup, actor_lh, 200.0, 100.0)}))
+
     # --- mono/global-agent ablation: hand-tuned vs the 24-trial hyperopt
     # winner retrained at the full reference budget (RESULTS.md). The winner
     # artifacts ship their config deltas as config_overrides.json (the same

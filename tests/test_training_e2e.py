@@ -203,6 +203,34 @@ def test_shipped_batched_artifact_stabilizes():
     assert post < 0.1 * pre, (pre, post)
 
 
+def test_shipped_ks22_lh_artifact_beats_tight_gate():
+    """The r04 long-horizon-selected KS22 artifact (gentle x0.5/1000 noise
+    schedule at half the old gentle budget — 3000 fused steps x 256 envs —
+    best actor picked by the 500-step eval on the te-overridden env;
+    RESULTS.md r04 row: 0.24% suppression at te=200, matching the all-time
+    record without the aggressive-schedule seed lottery) must pass a 2x
+    TIGHTER gate than the KS22_batched test above: post < 5% of pre."""
+    import os
+
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import actor_policy, rollout
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KS22_batched_lh")
+    if not os.path.exists(os.path.join(art, "saves", "agent_light.msgpack")):
+        pytest.skip("artifact not present")
+    setup = build_ks(KS22)
+    template = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, template)
+    policy = actor_policy(setup.agent, jax.tree.map(jnp.asarray, hook.best_actor))
+    traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+    y = traces["y"]
+    pre = np.abs(y[200:300]).mean()
+    post = np.abs(y[-60:]).mean()
+    assert post < 0.05 * pre, (pre, post)
+
+
 def test_shipped_keller_segel_fast_artifact_regulates():
     """The fast-tier chemotaxis artifact (artifacts/KellerSegel10_16_fast,
     trained with the 8x2500 recipe at oversampling=10) must suppress >=85%
