@@ -103,32 +103,37 @@ timed("no replay push (nolearn)", trainer, learn=False)
 B.replay_push_flat = orig_push
 
 # (c) driver-in-loop: consume the packed records every chunk exactly like
-# train_batched (depth-1 pipeline: dispatch chunk n+1, then unpack + feed
-# chunk n through the hook) — measures the PRODUCT training loop including
-# the (5, 50, N) f32 device->host record RPC, not just the chunk program
-from distributedconvrl_pde_control_tpu.train.hooks import PDEHook, unpack_records
-from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
+# train_batched (depth-4 pipeline since r04: dispatch up to 4 chunks before
+# reading chunk n's records + feeding the hook) — measures the PRODUCT
+# training loop including the device->host record reads, not just the chunk
+# program. Two read paths: dense = the full (5, 50, N) f32 plane (16.4 MB
+# per chunk at N=16384, bandwidth-bound through the axon tunnel), sparse =
+# the r04 header + finished-step-rows reader (train/records.py, ~320 kB).
+from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+from distributedconvrl_pde_control_tpu.train.records import (
+    consume_record_read, start_record_read)
 
 
-def timed_driver(label, trainer, chunks=5, chunk_len=50):
+def timed_driver(label, trainer, sparse, chunks=10, chunk_len=50, depth=4):
     ts = trainer.init(jax.random.PRNGKey(1))
     chunk = trainer.make_chunk_fn(chunk_len)
     hook = PDEHook(collect_best_trace=False)
     ts, recs = chunk(ts)
     jax.block_until_ready(recs)
-    pending = None
+    pending = []
     t0 = time.perf_counter()
     for _ in range(chunks):
         ts, recs = chunk(ts)
-        start_host_copies(recs)
-        if pending is not None:
-            hook.feed_episode_records(unpack_records(pending))
-        pending = recs
-    hook.feed_episode_records(unpack_records(pending))
+        pending.append(start_record_read(recs, sparse))
+        if len(pending) > depth:
+            hook.feed_episode_records(consume_record_read(pending.pop(0)))
+    for h in pending:
+        hook.feed_episode_records(consume_record_read(h))
     jax.block_until_ready(ts.total_env_steps)
     rate = chunks * chunk_len * N / (time.perf_counter() - t0)
     print(f"{label}: {rate/1e6:7.2f}M env steps/s", flush=True)
     return rate
 
 
-timed_driver("driver-in-loop (records)  ", trainer)
+timed_driver("driver-in-loop dense reads", trainer, sparse=False)
+timed_driver("driver-in-loop sparse reads", trainer, sparse=True)

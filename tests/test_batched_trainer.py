@@ -182,6 +182,77 @@ def test_packed_record_roundtrip():
     assert h1.errored_episodes == h2.errored_episodes
 
 
+def test_sparse_record_reader_matches_dense():
+    """The sparse reader (train/records.py: header + finished-step rows only)
+    must feed the hook IDENTICALLY to the dense full-plane read — same
+    rewards in the same order, same errored episodes, same mean_reward —
+    including chunks with zero finishes and multi-finish chunks."""
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.train.hooks import (
+        REC_COMPLETED,
+        REC_EP_REWARD,
+        REC_ERRORED,
+        REC_FINISHED,
+        REC_MEAN_REWARD,
+        PDEHook,
+        unpack_records,
+    )
+    from distributedconvrl_pde_control_tpu.train.records import (
+        consume_record_read,
+        start_record_read,
+    )
+
+    rng = np.random.default_rng(1)
+    n_steps, n_envs = 7, 5
+    h_dense, h_sparse = PDEHook(), PDEHook()
+    for density in (0.3, 0.0, 0.9):  # sparse, EMPTY, nearly-dense chunks
+        fin = rng.random((n_steps, n_envs)) < density
+        comp = np.logical_and(fin, rng.random((n_steps, n_envs)) < 0.5)
+        err = np.logical_and(fin, np.logical_not(comp))
+        packed = np.zeros((5, n_steps, n_envs), np.float32)
+        packed[REC_FINISHED] = fin
+        packed[REC_COMPLETED] = comp
+        packed[REC_ERRORED] = err
+        packed[REC_EP_REWARD] = rng.normal(size=(n_steps, n_envs))
+        packed[REC_MEAN_REWARD] = rng.normal(size=(n_steps, 1))
+        import jax.numpy as jnp
+
+        dev = jnp.asarray(packed)
+        dense = unpack_records(packed)
+        sparse = consume_record_read(start_record_read(dev, sparse=True))
+        assert np.allclose(sparse["mean_reward"], dense["mean_reward"])
+        h_dense.feed_episode_records(dense)
+        h_sparse.feed_episode_records(sparse)
+    assert h_sparse.rewards == h_dense.rewards
+    assert h_sparse.rewards_compare == h_dense.rewards_compare
+    assert h_sparse.errored_episodes == h_dense.errored_episodes
+    assert h_sparse.ep == h_dense.ep
+
+
+def test_train_batched_sparse_records_identical():
+    """train_batched with sparse_records forced on is indistinguishable from
+    the dense default at small n_envs (same seed, same chunk stream) —
+    records are read, never computed with, so the training state and every
+    hook field must match exactly."""
+    trainer = make_trainer(n_envs=8)
+    outs = {}
+    for sparse in (False, True):
+        ts, hook, means = train_batched(
+            trainer, total_steps=150, key=jax.random.PRNGKey(5),
+            chunk_len=25, sparse_records=sparse)
+        outs[sparse] = (ts, hook, means)
+    ts_d, hook_d, means_d = outs[False]
+    ts_s, hook_s, means_s = outs[True]
+    assert np.array_equal(means_s, means_d)
+    assert hook_s.rewards == hook_d.rewards
+    assert hook_s.rewards_compare == hook_d.rewards_compare
+    assert hook_s.errored_episodes == hook_d.errored_episodes
+    assert hook_s.ep == hook_d.ep
+    assert hook_s.bestreward == hook_d.bestreward
+    assert float(ts_s.total_env_steps) == float(ts_d.total_env_steps)
+
+
 def test_flat_obs_state_is_bitwise_equivalent():
     """flat_obs_state / flat_action_state carry EnvState.obs (resp.
     action/delta_action) as flat per-env rows — pure layout changes
