@@ -91,7 +91,12 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
     chunk = tr.make_chunk_fn(chunk_len)
 
     from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
-    from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
+    from distributedconvrl_pde_control_tpu.train.records import (
+        SPARSE_RECORDS_MIN_BYTES,
+        consume_record_read,
+        record_bytes,
+        start_record_read,
+    )
 
     state_box = [state]
 
@@ -106,27 +111,29 @@ def bench_point(mesh_spec: str, nx: int, n_envs: int, oversampling: int,
         state_box[0] = s
 
     def driver_in_loop(n):
-        """The PRODUCT loop (train_sharded): read every chunk's PACKED
-        episode-record array on the host (PDEHook accounting) with a
-        depth-4 deferral + async host copies, so the single ~20-40 ms
-        device->host RPC overlaps several chunks of device compute —
-        exactly the train_sharded pipeline (ShardedTrainConfig.
-        pipeline_depth). The gap vs chunk_only is the driver overhead the
-        pipeline fails to hide (round-2 verdict Weak #2: the old
-        synchronous driver lost up to ~25% here, unmeasured)."""
+        """The PRODUCT loop (train_sharded): read every chunk's episode
+        records on the host (PDEHook accounting) with a depth-4 deferral +
+        async host copies, so the single ~20-40 ms device->host RPC
+        overlaps several chunks of device compute — exactly the
+        train_sharded pipeline (ShardedTrainConfig.pipeline_depth),
+        including the dense/sparse read dispatch (train/records.py: the
+        8-env fluid planes stay dense; dp-scaled batches flip to sparse).
+        The gap vs chunk_only is the driver overhead the pipeline fails to
+        hide (round-2 verdict Weak #2: the old synchronous driver lost up
+        to ~25% here, unmeasured)."""
         s = state_box[0]
         hook = PDEHook(collect_best_trace=False)
+        sparse = record_bytes(chunk_len, n_envs) >= SPARSE_RECORDS_MIN_BYTES
         pending: list = []
         done = 0
         while done < n:
             s, recs = chunk(s)
-            start_host_copies(recs)
-            pending.append(recs)
+            pending.append(start_record_read(recs, sparse))
             if len(pending) > 4:
-                hook.feed_episode_records(pending.pop(0))
+                hook.feed_episode_records(consume_record_read(pending.pop(0)))
             done += chunk_len
-        for recs in pending:
-            hook.feed_episode_records(recs)
+        for handle in pending:
+            hook.feed_episode_records(consume_record_read(handle))
         jax.block_until_ready(s.mean_reward)
         state_box[0] = s
 
@@ -213,7 +220,12 @@ def bench_point_ks_dp(mesh_spec: str, n_envs: int, steps: int,
         BatchedTrainerConfig,
     )
     from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
-    from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
+    from distributedconvrl_pde_control_tpu.train.records import (
+        SPARSE_RECORDS_MIN_BYTES,
+        consume_record_read,
+        record_bytes,
+        start_record_read,
+    )
 
     spec = mesh_spec.lower().split("x")
     n_dp = int(spec[0])
@@ -238,17 +250,20 @@ def bench_point_ks_dp(mesh_spec: str, n_envs: int, steps: int,
         state_box[0] = s
 
     def driver_in_loop(n):
-        # the train_batched pipeline: one-chunk record-read deferral
+        # the train_batched pipeline: depth-4 record-read deferral with the
+        # dense/sparse dispatch (train/records.py — 16k-env planes cross the
+        # 1 MB threshold, so this tier measures the PRODUCT sparse path)
         s = state_box[0]
         hook = PDEHook(collect_best_trace=False)
-        pending = None
+        sparse = record_bytes(chunk_len, n_envs) >= SPARSE_RECORDS_MIN_BYTES
+        pending = []
         for _ in range(n // chunk_len):
             s, recs = chunk(s)
-            start_host_copies(recs)
-            if pending is not None:
-                hook.feed_episode_records(pending)
-            pending = recs
-        hook.feed_episode_records(pending)
+            pending.append(start_record_read(recs, sparse))
+            if len(pending) > 4:
+                hook.feed_episode_records(consume_record_read(pending.pop(0)))
+        for handle in pending:
+            hook.feed_episode_records(consume_record_read(handle))
         jax.block_until_ready(s.total_env_steps)
         state_box[0] = s
 

@@ -75,7 +75,6 @@ from distributedconvrl_pde_control_tpu.parallel.ns_sharded import (
     NSShardedSolverRI,
     make_sharded_ops,
 )
-from distributedconvrl_pde_control_tpu.utils.hostarray import start_host_copies
 
 
 @dataclasses.dataclass(frozen=True)
@@ -653,6 +652,12 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
     import time
 
     from distributedconvrl_pde_control_tpu.train.hooks import PDEHook
+    from distributedconvrl_pde_control_tpu.train.records import (
+        SPARSE_RECORDS_MIN_BYTES,
+        consume_record_read,
+        record_bytes,
+        start_record_read,
+    )
 
     cfg, tcfg = trainer.cfg, trainer.tcfg
     loops = loops if loops is not None else cfg.loops
@@ -678,6 +683,11 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
     # and the per-loop print see complete accounting.
     depth = max(1, tcfg.pipeline_depth)
     pending: list = []
+    # Dense (one full-plane RPC) vs sparse (header + finished-step rows)
+    # record reads share the crossover measured for train_batched
+    # (train/records.py): the fluid presets' 8-env planes stay dense, a
+    # dp-scaled env batch flips to sparse automatically.
+    sparse = record_bytes(tcfg.chunk_len, tcfg.n_envs) >= SPARSE_RECORDS_MIN_BYTES
     for i in range(loops):
         state = state.replace(
             agent=state.agent.replace(act_noise=jnp.asarray(noise, jnp.float32)))
@@ -685,13 +695,12 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
         steps = 0
         while steps < no_steps:
             state, recs = chunk_fn(state)
-            start_host_copies(recs)
-            pending.append(recs)
+            pending.append(start_record_read(recs, sparse))
             if len(pending) > depth:
-                hook.feed_episode_records(pending.pop(0))
+                hook.feed_episode_records(consume_record_read(pending.pop(0)))
             steps += tcfg.chunk_len
-        for recs in pending:
-            hook.feed_episode_records(recs)
+        for handle in pending:
+            hook.feed_episode_records(consume_record_read(handle))
         pending.clear()
         if verbose:
             print(f"[{cfg.name} sharded {trainer.n_dp}x{trainer.n_sp}] "

@@ -263,6 +263,39 @@ def test_multichip_trainer_episode_accounting_and_best_tracking():
         assert hook2.bestreward == hook.bestreward
 
 
+def test_multichip_sparse_records_accounting_matches_dense(monkeypatch):
+    """train_sharded's dense/sparse record-read dispatch (train/records.py)
+    yields identical hook accounting: forcing the sparse path (threshold 0)
+    reproduces the dense run's episode rewards in identical order."""
+    import dataclasses
+
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+        train_sharded,
+    )
+    from distributedconvrl_pde_control_tpu.train import records as rec_mod
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = _tiny_fluid_cfg(te=0.2)  # 10-step episodes
+    tcfg = ShardedTrainConfig(n_envs=8, batch_size=8, capacity_per_dp=2048,
+                              y0_pool_size=2, chunk_len=10)
+
+    hooks = {}
+    for label, min_bytes in (("dense", 1 << 60), ("sparse", 0)):
+        monkeypatch.setattr(rec_mod, "SPARSE_RECORDS_MIN_BYTES", min_bytes)
+        tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+        _, hook = train_sharded(tr, loops=1, no_steps=20, seed=0,
+                                verbose=False)
+        hooks[label] = hook
+
+    assert hooks["dense"].ep == hooks["sparse"].ep
+    np.testing.assert_array_equal(hooks["dense"].rewards,
+                                  hooks["sparse"].rewards)
+    np.testing.assert_array_equal(hooks["dense"].errored_episodes,
+                                  hooks["sparse"].errored_episodes)
+
+
 def test_multichip_eval_rollout():
     from distributedconvrl_pde_control_tpu.parallel.multichip import (
         ShardedFluidTrainer,
