@@ -219,9 +219,13 @@ def run_sharded(args) -> None:
         state, hook = train_sharded(trainer, loops=args.loops,
                                     no_steps=args.no_steps,
                                     seed=args.seed if args.seed is not None else cfg.seed,
-                                    state=state, hook=hook)
+                                    state=state, hook=hook,
+                                    eval_every=args.eval_every,
+                                    eval_steps=args.eval_steps)
         save_sharded(out_dir, trainer, state, hook)
         print(hook.ascii_curve())
+        if getattr(hook, "evals", None):
+            print("evals:", [(s, round(r, 4)) for s, r in hook.evals])
         print(f"saved to {out_dir}; best reward {hook.bestreward:.4f} "
               f"@ ep {hook.bestepisode} (mesh {dp}x{sp}, "
               f"grid {getattr(cfg, 'grid_nx', cfg.nx)})")
@@ -447,13 +451,15 @@ def main(argv=None):
                     help="fused env steps for --batched training")
     ap.add_argument("--eval-steps", type=int, default=50,
                     help="deterministic-eval rollout length (env steps) for "
-                         "--batched --eval-every runs. Beyond te/dt the eval "
-                         "runs on a horizon-overridden env clone, so e.g. "
+                         "--batched/--mesh --eval-every runs. Beyond te/dt "
+                         "the eval runs on a horizon-overridden env clone "
+                         "(the sharded eval scan has no te cap), so e.g. "
                          "500 on KS measures 500 REAL steps of stabilization "
                          "(the plot_heat long-horizon metric) and drives "
                          "best-actor selection on it")
     ap.add_argument("--eval-every", type=int, default=0,
-                    help="deterministic eval cadence (steps) for --batched")
+                    help="deterministic eval cadence (steps) for --batched "
+                         "and --mesh training")
     ap.add_argument("--noise-every", type=int, default=None,
                     help="--batched noise-decay cadence in steps "
                          "(default total_steps/loops)")

@@ -635,7 +635,8 @@ class ShardedFluidTrainer:
 def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
                   no_steps: int | None = None, seed: int = 0,
                   state: MCState | None = None, hook=None, verbose: bool = True,
-                  noise_decay: float | None = None, chunk_fn=None):
+                  noise_decay: float | None = None, chunk_fn=None,
+                  eval_every: int = 0, eval_steps: int = 50):
     """The preset training protocol on the mesh: `loops` rounds of `no_steps`
     fused steps with act_noise decayed per round and rewards clamped
     (FluidSetup.jl:541-556 lifted to chunked SPMD execution).
@@ -644,6 +645,17 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
     caller reuse one compiled chunk program across many invocations (the
     restart driver train_multi_sharded calls this per round — re-making the
     jitted wrapper each time would retrace).
+
+    `eval_every > 0` additionally runs a DETERMINISTIC sharded evaluation
+    rollout (make_eval_fn on the preset's canonical eval fields) every N
+    training steps, and those evals then drive the best-actor snapshot —
+    the sharded twin of train_batched's eval-driven selection: with
+    hundreds of noisy episodes finishing per chunk, the reference's
+    best-noisy-episode rule (PDEhook.jl:65-76) selects exploration luck.
+    `eval_steps` is the rollout horizon in env steps; the eval scan has no
+    te cap (blow-up termination only), so horizons past the training
+    episode length measure stabilization — the long-horizon semantics of
+    the r04 batched-eval upgrade come built in.
 
     Returns (MCState, PDEHook). The hook is assembled from the per-chunk
     episode records + the on-device best tracking, in the same format the
@@ -670,6 +682,19 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
                        collect_best_trace=False)
     if chunk_fn is None:
         chunk_fn = trainer.make_chunk_fn(tcfg.chunk_len)
+
+    eval_fn = eval_w0 = None
+    best_eval = None  # (mean step reward, step, episode, actor params)
+    if eval_every and not hasattr(hook, "evals"):
+        hook.evals = []  # (total steps, deterministic mean step reward)
+    next_eval = eval_every if eval_every else None
+    total_steps = 0
+
+    def run_eval(actor):
+        rec = eval_fn(actor, eval_w0)
+        rs = np.asarray(rec["reward_mean"])
+        active = np.asarray(rec["active"])
+        return float(rs[active].mean()) if active.any() else float("nan")
 
     noise = float(state.agent.act_noise)
     # DEEP software pipeline (deeper than train_batched, whose ~1 s chunks
@@ -699,6 +724,19 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
             if len(pending) > depth:
                 hook.feed_episode_records(consume_record_read(pending.pop(0)))
             steps += tcfg.chunk_len
+            total_steps += tcfg.chunk_len
+            if next_eval is not None and total_steps >= next_eval:
+                if eval_fn is None:
+                    eval_fn = trainer.make_eval_fn(eval_steps)
+                    eval_w0 = trainer.eval_w0()
+                r_eval = run_eval(state.agent.actor)
+                hook.evals.append((total_steps, r_eval))
+                if best_eval is None or r_eval > best_eval[0]:
+                    # the eval synchronized the host, so reading the device
+                    # episode counter costs nothing extra
+                    best_eval = (r_eval, total_steps, int(state.ep_count),
+                                 jax.tree.map(np.asarray, state.agent.actor))
+                next_eval += eval_every
         for handle in pending:
             hook.feed_episode_records(consume_record_read(handle))
         pending.clear()
@@ -711,6 +749,13 @@ def train_sharded(trainer: ShardedFluidTrainer, loops: int | None = None,
         hook.clamp_rewards(-3000.0, 0.0)
 
     finalize_hook(hook, state)
+    if best_eval is not None:
+        # deterministic-eval-driven selection overrides the on-device
+        # best-noisy-episode snapshot (same rule as train_batched:
+        # hook.bestreward then holds the best eval mean STEP reward)
+        hook.best_actor = best_eval[3]
+        hook.bestreward = best_eval[0]
+        hook.bestepisode = best_eval[2]
     return state, hook
 
 

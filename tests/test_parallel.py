@@ -296,6 +296,35 @@ def test_multichip_sparse_records_accounting_matches_dense(monkeypatch):
                                   hooks["sparse"].errored_episodes)
 
 
+def test_multichip_eval_driven_selection():
+    """train_sharded with eval_every runs deterministic sharded evals and
+    the BEST eval (not the best noisy episode) drives the hook's actor
+    snapshot — the sharded twin of train_batched's eval-driven selection."""
+    from distributedconvrl_pde_control_tpu.parallel.multichip import (
+        ShardedFluidTrainer,
+        ShardedTrainConfig,
+        train_sharded,
+    )
+
+    mesh = make_dp_sp_mesh(8)
+    cfg = _tiny_fluid_cfg(te=0.2)  # 10-step episodes
+    tcfg = ShardedTrainConfig(n_envs=8, batch_size=8, capacity_per_dp=2048,
+                              y0_pool_size=2, chunk_len=10)
+    tr = ShardedFluidTrainer(cfg, mesh, tcfg)
+    # eval horizon past the 10-step episode cap: the sharded eval scan has
+    # no te cap, so all 15 steps are real (long-horizon semantics)
+    state, hook = train_sharded(tr, loops=1, no_steps=20, seed=0,
+                                verbose=False, eval_every=10, eval_steps=15)
+    assert len(hook.evals) == 2
+    steps, rewards = zip(*hook.evals)
+    assert steps == (10, 20)
+    assert all(np.isfinite(r) for r in rewards)
+    assert hook.bestreward == max(rewards)
+    assert hook.best_actor is not None
+    # the snapshot is host-resident numpy (checkpoint-ready)
+    assert isinstance(hook.best_actor[0]["w"], np.ndarray)
+
+
 def test_multichip_eval_rollout():
     from distributedconvrl_pde_control_tpu.parallel.multichip import (
         ShardedFluidTrainer,
