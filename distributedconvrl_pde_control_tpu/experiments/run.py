@@ -392,6 +392,12 @@ def main(argv=None):
                     help="eval actuation start time (default p_te/2; 0 for fluid, "
                          "matching testrun)")
     ap.add_argument("--video", action="store_true", help="render an mp4 of the eval rollout")
+    ap.add_argument("--live", action="store_true",
+                    help="animate the eval rollout live in the terminal "
+                         "(the headless stand-in for the reference's Blink "
+                         "window, plotting.jl:306-521)")
+    ap.add_argument("--fps", type=float, default=16.0,
+                    help="--live/--video frame rate")
     ap.add_argument("--random-init", action="store_true",
                     help="evaluate from a random initial condition (the hook's "
                          "use_random_init flow) instead of the standard y0")
@@ -636,6 +642,8 @@ def main(argv=None):
         print(json.dumps({"agent": "ppo", "pre_control_mean_abs_dev": pre,
                           "post_control_mean_abs_dev": post,
                           "suppression": post / pre if pre else None}))
+        if args.live:
+            plotting.live_view(traces, fps=args.fps)
         return
 
     if args.train and args.batched:
@@ -852,8 +860,10 @@ def main(argv=None):
         post = float(np.abs(y[-max(1, n_steps // 10):]).mean())
         print(json.dumps({"pre_control_mean_abs_dev": pre, "post_control_mean_abs_dev": post,
                           "suppression": post / pre if pre else None}))
+    if args.live:
+        plotting.live_view(traces, fps=args.fps)
     if args.video:
-        out = plotting.render_animation(traces, out_dir)
+        out = plotting.render_animation(traces, out_dir, fps=int(args.fps))
         print("video:", out)
 
 

@@ -8,6 +8,9 @@
   * plot_rewards  — reward landscape over a (y, action) grid
                     (plotting.jl:526-541)
   * render_animation — frame dump + ffmpeg mp4 (plotrun, plotting.jl:306-521)
+  * live_view     — in-terminal live animation (the headless equivalent of
+                    plotrun's Blink window, plotting.jl:306-521)
+  * f2fplot       — periodic-domain closure for display (fluid_rk4.jl:231-240)
   * plot_energy   — fluid energy traces vs baselines (testrun eval)
 
 All functions take host-side traces (from train.eval.rollout or
@@ -184,6 +187,20 @@ def plot_energy(energies: dict, path: Optional[str] = None):
     return _finish(fig, path)
 
 
+def f2fplot(f: np.ndarray) -> np.ndarray:
+    """Close the periodic domain for display: the solvers work on
+    [0,Lx)×[0,Ly) grids that exclude x=Lx / y=Ly, so plots of the raw field
+    show a one-cell seam at the wrap boundary. Appends the first column and
+    then the first row (1D: the first sample) so the rendered field covers
+    the closed domain — `f2fplot`, /root/reference/src/fluid_rk4.jl:231-240.
+    """
+    f = np.asarray(f)
+    if f.ndim == 1:
+        return np.concatenate([f, f[:1]])
+    f = np.concatenate([f, f[:, :1]], axis=1)
+    return np.concatenate([f, f[:1, :]], axis=0)
+
+
 def render_animation(traces: dict, out_dir: str, fps: int = 16,
                      filename: str = "output.mp4") -> Optional[str]:
     """Frame dump + ffmpeg assembly (plotrun/testrun video path,
@@ -192,14 +209,16 @@ def render_animation(traces: dict, out_dir: str, fps: int = 16,
     frames_dir = os.path.join(out_dir, "frames")
     os.makedirs(frames_dir, exist_ok=True)
     y = _as_real_field(np.asarray(traces["y"]))
+    if y.ndim == 3 and y.shape[1] == 2:  # Keller-Segel two-field: animate u
+        y = y[:, 0]
     vmax = np.abs(y).max() or 1.0
     for i, frame in enumerate(y):
         fig, ax = plt.subplots(figsize=(6, 5))
         if frame.ndim == 1:
-            ax.plot(frame)
+            ax.plot(f2fplot(frame))
             ax.set_ylim(-vmax, vmax)
         else:
-            ax.imshow(frame, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
+            ax.imshow(f2fplot(frame), cmap="RdBu_r", vmin=-vmax, vmax=vmax)
         ax.set_title(f"step {i}")
         fig.savefig(os.path.join(frames_dir, f"a{i:04d}.png"), dpi=80)
         plt.close(fig)
@@ -213,6 +232,89 @@ def render_animation(traces: dict, out_dir: str, fps: int = 16,
         check=True, capture_output=True,
     )
     return out_path
+
+
+def live_view(traces: dict, fps: float = 16.0, width: int = 96,
+              height: int = 20, out=None, max_frames: Optional[int] = None,
+              loop: bool = False) -> int:
+    """Live in-terminal animation of a rollout — the headless-native
+    equivalent of the reference's live Blink window
+    (`plotrun`, /root/reference/src/plotting.jl:306-521; `testrun`'s live
+    heatmap, /root/reference/scripts/Fluid/setup/FluidSetup.jl:436-519).
+
+    The reference pops an Electron window and streams PlotlyJS frames into
+    it; on a headless TPU host there is no display server, so the live
+    channel that actually exists is the terminal. 1D fields render as an
+    ASCII line plot (field amplitude vs x), 2D fields as a downsampled
+    unicode intensity map; frames redraw in place via ANSI cursor movement
+    at `fps`. Returns the number of frames drawn.
+
+    `out`: stream to draw to (default sys.stdout; anything non-TTY gets the
+    frames without sleeps, so piping/tests are instant). `loop` replays the
+    trace until interrupted (the live-window watch mode).
+    """
+    import sys
+    import time
+
+    stream = out if out is not None else sys.stdout
+    is_tty = bool(getattr(stream, "isatty", lambda: False)())
+    y = _as_real_field(np.asarray(traces["y"]))
+    if y.ndim == 3 and y.shape[1] == 2:  # Keller-Segel two-field: show u
+        y = y[:, 0]
+    r = np.asarray(traces.get("reward")) if "reward" in traces else None
+    t = np.asarray(traces.get("time")) if "time" in traces else None
+    vmax = float(np.abs(y).max()) or 1.0
+    ramp = " .:-=+*#%@"
+    n_frames = len(y) if max_frames is None else min(len(y), max_frames)
+    lines_per_frame = height + 1
+
+    def _frame_lines(frame: np.ndarray) -> list:
+        if frame.ndim == 1:
+            f = f2fplot(frame)
+            xs = np.linspace(0, len(f) - 1, width).astype(int)
+            cols = f[xs]
+            # row 0 = +vmax ... bottom row = -vmax
+            rows = np.clip(((vmax - cols) / (2 * vmax) * (height - 1)).round()
+                           .astype(int), 0, height - 1)
+            grid = np.full((height, width), " ", dtype="<U1")
+            grid[rows, np.arange(width)] = "o"
+            grid[height // 2, :] = np.where(grid[height // 2, :] == "o",
+                                            "o", ".")
+            return ["".join(row) for row in grid]
+        f = f2fplot(frame)
+        ys = np.linspace(0, f.shape[0] - 1, height).astype(int)
+        xs = np.linspace(0, f.shape[1] - 1, width).astype(int)
+        sub = f[np.ix_(ys, xs)]
+        lvl = np.clip((np.abs(sub) / vmax * (len(ramp) - 1)).astype(int),
+                      0, len(ramp) - 1)
+        chars = np.asarray(list(ramp))
+        return ["".join(row) for row in chars[lvl]]
+
+    drawn = 0
+    try:
+        while True:
+            for i in range(n_frames):
+                hdr = f"step {i:4d}"
+                if t is not None and i < len(t):
+                    hdr += f"  t={float(t[i]):7.3f}"
+                if r is not None and i < len(r):
+                    hdr += f"  mean reward {float(np.mean(r[i])):+.4f}"
+                lines = [hdr.ljust(width)] + _frame_lines(y[i])
+                stream.write("\n".join(lines) + "\n")
+                drawn += 1
+                if is_tty:
+                    stream.flush()
+                    time.sleep(1.0 / max(fps, 1e-3))
+                    if i < n_frames - 1 or loop:
+                        stream.write(f"\x1b[{lines_per_frame}F")
+            if not (loop and is_tty):
+                break
+    except KeyboardInterrupt:
+        pass
+    if is_tty:
+        stream.write("\n")
+        stream.flush()
+    return drawn
 
 
 def plot_waterfall(traces: dict, path: Optional[str] = None, stride: int = 10,

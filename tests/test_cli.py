@@ -28,11 +28,14 @@ def test_cli_train_then_eval(tmp_path):
     assert os.path.exists(os.path.join(out, "rewards.png"))
 
     r = run_cli("KS22", "--eval", "--cpu", "--out", out, "--p-te", "30",
-                "--p-t-action", "15", cwd=REPO)
+                "--p-t-action", "15", "--live", cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
-    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    body = r.stdout.strip().splitlines()
+    stats = json.loads(next(l for l in body if l.startswith("{")))
     assert stats["pre_control_mean_abs_dev"] > 0
     assert os.path.exists(os.path.join(out, "heat.png"))
+    # --live streamed terminal frames after the stats line (non-TTY: no sleeps)
+    assert any(l.startswith("step ") for l in body)
 
 
 @pytest.mark.slow

@@ -48,6 +48,37 @@ def test_render_animation_frames(short_traces, tmp_path):
         assert os.path.getsize(out) > 0
 
 
+def test_f2fplot_closes_periodic_domain():
+    f1 = np.arange(5.0)
+    out1 = plotting.f2fplot(f1)
+    assert out1.shape == (6,) and out1[-1] == f1[0]
+    f2 = np.arange(12.0).reshape(3, 4)
+    out2 = plotting.f2fplot(f2)
+    assert out2.shape == (4, 5)
+    np.testing.assert_array_equal(out2[:3, -1], f2[:, 0])
+    np.testing.assert_array_equal(out2[-1, :4], f2[0, :])
+    assert out2[-1, -1] == f2[0, 0]
+
+
+def test_live_view_renders_frames(short_traces):
+    import io
+
+    buf = io.StringIO()  # non-TTY: frames stream without sleeps
+    n = plotting.live_view(short_traces, out=buf, max_frames=4, width=40,
+                           height=8)
+    assert n == 4
+    txt = buf.getvalue()
+    assert "step    0" in txt and "mean reward" in txt
+    # each frame = header + `height` grid lines of `width` chars
+    lines = txt.splitlines()
+    assert len(lines) == 4 * 9
+    assert all(len(l) == 40 for l in lines[1:9])
+    # 2D branch (downsampled intensity map)
+    buf2 = io.StringIO()
+    tr2 = {"y": np.random.default_rng(0).normal(size=(3, 16, 16))}
+    assert plotting.live_view(tr2, out=buf2, width=24, height=6) == 3
+
+
 def test_train_multi_runs_and_saves(tmp_path):
     from distributedconvrl_pde_control_tpu.train import checkpoint
     from distributedconvrl_pde_control_tpu.train.drivers import train_multi
