@@ -79,11 +79,17 @@ def run_once():
     # policies transfer across integrators — cross-eval verified) + 1-pass
     # bf16 NONLINEAR transforms (error enters scaled by the O(h)
     # phi-weights: 1.8e-4/step, 1.28x; the `_tp`-trained policy passes the
-    # standard-env gate at 0.58% suppression — RESULTS.md). This is the
-    # CLI `KS22_tp` tier. The fidelity presets keep CNAB2 at f32/HIGHEST.
+    # standard-env gate at 0.58% suppression — RESULTS.md) + the spectral
+    # carry (r04: the half-spectrum is carried across env steps and the
+    # forcing spectrum comes from pre-transformed actuator kernels, so 2 of
+    # the 3 boundary transforms per env step vanish; strictly MORE accurate
+    # — it removes the per-step rfft∘irfft round-trip — +7.6% measured,
+    # PERFORMANCE.md). This is the CLI `KS22_tp` tier. The fidelity presets
+    # keep CNAB2 at f32/HIGHEST with the real carry.
     setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi",
                                          stepper="etdrk4",
-                                         nl_fft_mode="matmul_fast"))
+                                         nl_fft_mode="matmul_fast",
+                                         spectral_carry=True))
     trainer = BatchedTrainer(
         setup.env,
         setup.agent,

@@ -51,6 +51,18 @@ for label, fo, fa in (("flat obs carry            ", True, False),
                              flat_obs_state=fo, flat_action_state=fa),
         random_init=ks_random_init(KS22)), learn=True)
 
+# spectral carry (r04, now the _tp/bench default): the half-spectrum is
+# carried across env steps and the forcing spectrum comes from
+# pre-transformed actuator kernels — 2 of the 3 per-step boundary
+# transforms vanish (configs/ks.py spectral_carry)
+spec_setup = build_ks(dataclasses.replace(
+    KS22, fft_mode="matmul_hi", stepper="etdrk4", nl_fft_mode="matmul_fast",
+    spectral_carry=True))
+timed("spectral carry            ", BatchedTrainer(
+    spec_setup.env, spec_setup.agent,
+    BatchedTrainerConfig(n_envs=N, batch_size=4096, update_loops=1),
+    random_init=ks_random_init(KS22)), learn=True)
+
 # solver+policy only: time a bare scan of env steps with a fixed actor
 import numpy as np
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent

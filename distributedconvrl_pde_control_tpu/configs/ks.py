@@ -55,6 +55,15 @@ class KSConfig:
     # enters scaled by the O(h) phi-weights; ops/ks.py nl_fft_mode note).
     # None = fft_mode everywhere.
     nl_fft_mode: str | None = None
+    # etdrk4-only: carry the field as its half-spectrum (re, im) pair across
+    # env steps and feed the solver spectral forcing computed directly from
+    # the actions (exact — the forcing is a fixed-kernel linear combination,
+    # KSSetup.jl:231-245). Drops 2 of the 3 per-env-step boundary transforms
+    # (the remaining synthesis still hands featurize/reward/termination the
+    # real field); numerically it REMOVES the per-step rfft∘irfft round-trip,
+    # so the trajectory is slightly MORE accurate than the real-carry path
+    # (equivalence bounded in tests/test_ks_solver.py).
+    spectral_carry: bool = False
     max_value: float = 30.0
     check_max_value: str = "y"
     # featurization
@@ -185,6 +194,23 @@ def build_ks(cfg: KSConfig = KS22) -> Setup:
         """KSSetup.jl:231-245: forcing = sum_i agent_power * a_i * g_i."""
         return cfg.agent_power * (action[0] @ actuator_matrix)
 
+    init_carry = step_carry_fn = None
+    if cfg.spectral_carry:
+        if cfg.stepper != "etdrk4":
+            raise ValueError("spectral_carry requires stepper='etdrk4'")
+        # pre-transform the actuator kernels (float64 host FFT, cast f32):
+        # F(forcing) = agent_power * sum_i a_i * F(g_i) — exact, no per-step
+        # forcing analysis transform
+        ghat = np.fft.rfft(np.asarray(actuators, np.float64), axis=1)
+        g_re = jnp.asarray(cfg.agent_power * ghat.real, jnp.float32)
+        g_im = jnp.asarray(cfg.agent_power * ghat.imag, jnp.float32)
+
+        def step_carry_fn(carry, action):
+            return solver.step_spectral(carry, action[0] @ g_re,
+                                        action[0] @ g_im)
+
+        init_carry = solver.init_carry
+
     env = PDEEnv(
         step_fn=solver.step,
         featurize=featurizer,
@@ -198,6 +224,8 @@ def build_ks(cfg: KSConfig = KS22) -> Setup:
         dt=cfg.dt,
         max_value=cfg.max_value,
         check_max_value=cfg.check_max_value,
+        init_carry=init_carry,
+        step_carry_fn=step_carry_fn,
     )
 
     agent = DDPGAgent(DDPGConfig(

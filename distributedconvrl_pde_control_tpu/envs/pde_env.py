@@ -55,6 +55,11 @@ class EnvState:
     time: jnp.ndarray  # f32 scalar
     reward: jnp.ndarray  # per-actuator rewards (n_rewards,)
     done: jnp.ndarray  # bool scalar
+    # opaque solver carry for spectral-state tiers (None on the standard
+    # path): the spectral solvers synthesize real `y` every step anyway, so
+    # carrying their (re, im) spectrum here lets them skip the per-step
+    # re-analysis transform (configs/ks.py `spectral_carry`)
+    carry: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +85,15 @@ class PDEEnv:
     dt: float = 0.005
     max_value: float = 20.0
     check_max_value: str = "y"  # "y" | "reward" | "none" (PDEenv.jl:226-240)
+    # Optional spectral-carry pair (perf tier; both or neither):
+    #   init_carry(y) -> carry
+    #   step_carry_fn(carry, action) -> (carry', y')
+    # When set, the solver advances the carried spectrum instead of
+    # re-analyzing `y` each step; featurize/reward/termination still see
+    # the per-step real field y' (and `prepare_action` still records the
+    # real forcing plane), so every downstream semantic is unchanged.
+    init_carry: Optional[Callable] = None
+    step_carry_fn: Optional[Callable] = None
 
     @property
     def max_steps(self) -> int:
@@ -102,13 +116,17 @@ class PDEEnv:
             time=jnp.asarray(self.t0, jnp.float32),
             reward=jnp.zeros((self.n_rewards,), jnp.float32),
             done=jnp.asarray(False, bool),
+            carry=self.init_carry(y) if self.init_carry is not None else None,
         )
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         """Pure step operator (PDEenv.jl:195-241)."""
         delta_action = action - state.action
         forcing = self.prepare_action(action)
-        y = self.step_fn(state.y, forcing)
+        if self.step_carry_fn is not None:
+            carry, y = self.step_carry_fn(state.carry, action)
+        else:
+            carry, y = None, self.step_fn(state.y, forcing)
         reward = self.reward_fn(y, action, delta_action)
         obs = self.featurize(y, state.obs, action)
         steps = state.steps + 1
@@ -138,4 +156,5 @@ class PDEEnv:
             time=time,
             reward=reward,
             done=done,
+            carry=carry,
         )

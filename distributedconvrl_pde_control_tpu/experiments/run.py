@@ -79,7 +79,8 @@ def keller_segel_config_for(name: str):
 # transforms (error enters scaled by the O(h) phi-weights; 1.28x over
 # matmul_hi alone, accuracy ladder in PERFORMANCE.md). Policies trained
 # here are evaluated on the STANDARD fidelity env.
-_KS_TP = dict(stepper="etdrk4", fft_mode="matmul_hi", nl_fft_mode="matmul_fast")
+_KS_TP = dict(stepper="etdrk4", fft_mode="matmul_hi", nl_fft_mode="matmul_fast",
+              spectral_carry=True)
 
 
 def build_setup(name: str, config_overrides=None):

@@ -201,10 +201,43 @@ class KSSolverETDRK4:
         mu-disturbance) is constant over the env step and enters the
         nonlinear term additively, like the reference's CNAB2 treats it."""
         mode = self.fft_mode
-        nl_mode = self.nl_fft_mode or mode
         y = y.astype(jnp.float32)
         vr, vi = fourier.rfft_ri(y, mode=mode)
         fr, fi = fourier.rfft_ri(forcing.astype(jnp.float32), mode=mode)
+        (vr, vi), y = self._advance((vr, vi), fr, fi)
+        return y
+
+    def init_carry(self, y: jnp.ndarray):
+        """Spectral-carry API: the half-spectrum (re, im) pair of `y`, to be
+        threaded through `step_spectral` across env steps (configs/ks.py
+        spectral_carry tier)."""
+        return fourier.rfft_ri(y.astype(jnp.float32), mode=self.fft_mode)
+
+    @partial(jax.jit, static_argnums=0)
+    def step_spectral(self, carry, fr: jnp.ndarray, fi: jnp.ndarray):
+        """One env step on the SPECTRAL carry: `(vr, vi), y' = step(...)`.
+
+        Same math as `step` minus the two boundary analysis transforms —
+        the state stays in spectral space between env steps (no per-step
+        `rfft(y)`: the carry already IS the spectrum the previous step
+        synthesized from), and the forcing arrives as a half-spectrum pair
+        computed directly from the actions via pre-transformed actuator
+        kernels (no per-step `rfft(forcing)`; exact, since the forcing is
+        a linear combination of fixed kernels — KSSetup.jl:231-245). Only
+        the ONE synthesis transform per env step remains, feeding
+        featurize/reward/blow-up termination their real-space field
+        unchanged. Numerically this REMOVES the per-step rfft∘irfft
+        round-trip of the real-carry path (equivalence bounded in
+        tests/test_ks_solver.py)."""
+        (vr, vi), y = self._advance(carry, fr, fi)
+        return (vr, vi), y
+
+    def _advance(self, carry, fr, fi):
+        """`oversampling` ETDRK4 substeps from spectral state + spectral
+        forcing; returns (new_carry, real-space field)."""
+        mode = self.fft_mode
+        nl_mode = self.nl_fft_mode or mode
+        vr, vi = carry
         fr = fr + self.dist_re
         fi = fi + self.dist_im
 
@@ -231,4 +264,4 @@ class KSSolverETDRK4:
             return (vr, vi), None
 
         (vr, vi), _ = jax.lax.scan(substep, (vr, vi), None, length=self.oversampling)
-        return fourier.irfft_ri(vr, vi, self.nx, mode=mode)
+        return (vr, vi), fourier.irfft_ri(vr, vi, self.nx, mode=mode)

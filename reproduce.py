@@ -60,6 +60,13 @@ def main():
     print(json.dumps({"row": "KS22_tp (throughput-tier-trained) stabilization",
                       **suppression(setup, actor_tp, 200.0, 100.0)}))
 
+    # --- r04 spectral-carry tier gate (trained on the carry-enabled `_tp`
+    # tier with the lh recipe, seed 23), evaluated on the STANDARD env —
+    # the gate that ships KSConfig.spectral_carry in bench.py
+    setup, actor_tpl = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22_tp_lh")
+    print(json.dumps({"row": "KS22_tp_lh (spectral-carry-tier-trained) stabilization",
+                      **suppression(setup, actor_tpl, 200.0, 100.0)}))
+
     # --- r04 long-horizon-selected KS22 record artifact (gentle x0.5/1000
     # schedule at HALF the old gentle budget + 500-step eval selection —
     # RESULTS.md: 0.24%/2.45%/0.27% across training seeds 59/11/23)

@@ -122,3 +122,26 @@ def test_dp_best_tracking_is_global():
     assert hook.rewards, "episodes should have completed"
     assert np.isclose(recs_best, max(hook.rewards), atol=1e-5), (
         recs_best, max(hook.rewards))
+
+
+def test_dp_trainer_with_spectral_carry():
+    """The spectral-carry EnvState.carry leaves must shard over the dp mesh
+    (the P('dp') pytree-prefix spec covers them) and survive the sharded
+    auto-reset tree-select."""
+    import dataclasses
+
+    cfg = dataclasses.replace(KS22, stepper="etdrk4", fft_mode="native",
+                              spectral_carry=True)
+    setup = build_ks(cfg)
+    trainer = DPBatchedTrainer(
+        setup.env, setup.agent,
+        BatchedTrainerConfig(n_envs=8, batch_size=16, update_loops=1),
+        dp_mesh(4), random_init=ks_random_init(cfg))
+    ts = trainer.init(jax.random.PRNGKey(0))
+    assert ts.env_states.carry[0].shape == (8, cfg.nx // 2 + 1)
+    fn = trainer.make_chunk_fn(170)  # crosses the 160-step episode boundary
+    ts, recs = fn(ts)
+    recs = np.asarray(recs)
+    assert np.isfinite(recs).all()
+    assert recs[0].sum() >= 8  # every env auto-reset at least once
+    assert np.isfinite(np.asarray(ts.env_states.carry[0])).all()

@@ -209,3 +209,75 @@ def test_coarse_grid_sensor_convergence():
     orr = sens_r @ np.asarray(yr)
     rel = np.abs(oc - orr).max() / np.abs(orr).max()
     assert rel < 3e-4, rel
+
+
+def test_spectral_carry_env_matches_standard_path():
+    """The spectral-carry tier (configs/ks.py spectral_carry: carry the
+    half-spectrum across env steps + spectral forcing from pre-transformed
+    actuator kernels) must reproduce the standard real-carry env step to the
+    f32 transform round-trip floor — the ONLY numerical difference is that
+    the carry path skips the per-step rfft∘irfft round-trip and analyses the
+    forcing kernels in float64 once instead of per step."""
+    import dataclasses
+
+    import jax
+
+    from distributedconvrl_pde_control_tpu.configs.ks import KS22, build_ks
+
+    base = dataclasses.replace(KS22, stepper="etdrk4", fft_mode="native")
+    env_std = build_ks(base).env
+    env_spec = build_ks(dataclasses.replace(base, spectral_carry=True)).env
+    assert env_spec.init_carry is not None and env_spec.step_carry_fn is not None
+
+    s_std, s_spec = env_std.reset(), env_spec.reset()
+    assert s_std.carry is None and s_spec.carry is not None
+    key = jax.random.PRNGKey(3)
+    for i in range(12):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, env_std.action_shape, jnp.float32, -1.0, 1.0)
+        s_std, s_spec = env_std.step(s_std, a), env_spec.step(s_spec, a)
+        y_std, y_spec = np.asarray(s_std.y), np.asarray(s_spec.y)
+        scale = np.abs(y_std).max()
+        assert np.abs(y_spec - y_std).max() / scale < 5e-4, i
+        np.testing.assert_allclose(np.asarray(s_spec.reward),
+                                   np.asarray(s_std.reward), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(s_spec.obs),
+                                   np.asarray(s_std.obs), atol=5e-4)
+        # the recorded forcing plane is identical (prepare_action unchanged)
+        np.testing.assert_array_equal(np.asarray(s_spec.forcing),
+                                      np.asarray(s_std.forcing))
+    assert bool(s_std.done) == bool(s_spec.done)
+
+
+def test_spectral_carry_batched_trainer_runs():
+    """The carry must flow through the batched trainer's vmap, auto-reset
+    tree-select, flat obs/action packing, and the eval path."""
+    import dataclasses
+
+    import jax
+
+    from distributedconvrl_pde_control_tpu.configs.ks import (
+        KS22,
+        build_ks,
+        ks_random_init,
+    )
+    from distributedconvrl_pde_control_tpu.train.batched import (
+        BatchedTrainer,
+        BatchedTrainerConfig,
+        train_batched,
+    )
+
+    cfg = dataclasses.replace(KS22, stepper="etdrk4", fft_mode="native",
+                              spectral_carry=True)
+    setup = build_ks(cfg)
+    trainer = BatchedTrainer(setup.env, setup.agent,
+                             BatchedTrainerConfig(n_envs=4, batch_size=16,
+                                                  update_loops=1),
+                             random_init=ks_random_init(cfg))
+    ts, hook, means = train_batched(trainer, total_steps=60, chunk_len=30,
+                                    key=jax.random.PRNGKey(0))
+    assert np.isfinite(means).all()
+    # carry is live in the carried env states (2-tuple of (4, 97) planes)
+    assert ts.env_states.carry[0].shape == (4, KS22.nx // 2 + 1)
+    r = trainer.eval_mean_reward(ts.agent.actor, n_steps=10)
+    assert np.isfinite(r)
