@@ -182,6 +182,15 @@ class DDPGAgent:
         return jnp.clip(actions, -cfg.act_limit, cfg.act_limit)
 
     # ----------------------------------------------------------------- learn
+    def sample(self, replay: Replay, key, batch_size: int):
+        """Learner-batch sampling route for the batched trainer. Next states
+        are stored explicitly, so every entry is a complete transition — no
+        newest-rows exclusion needed (that exclusion mirrors the reference's
+        slot arithmetic in fidelity mode, agents/replay.py docstring).
+        Population agents override this with member-region sampling
+        (train/population.py::PopulationDDPG.sample)."""
+        return replay_sample(replay, key, batch_size, 0)
+
     def learn_batch(self, astate: DDPGState, batch, axis_name: Optional[str] = None) -> DDPGState:
         """One sampled SGD step — exact math of PDEagent.jl:363-418.
 

@@ -456,6 +456,29 @@ def main(argv=None):
                          "loop; saves the same checkpoint format")
     ap.add_argument("--total-steps", type=int, default=2000,
                     help="fused env steps for --batched training")
+    ap.add_argument("--population", type=int, default=None, metavar="P",
+                    help="--train --batched: train P population members "
+                         "(independent runs / hyper-variants) as ONE fused "
+                         "program — members flattened member-major into "
+                         "the env axis, only the per-member networks "
+                         "vmapped (train/population.py) — so the "
+                         "multi-seed study runs at the big-batch rate. "
+                         "Members save as standard checkpoints under "
+                         "OUT/member_XX plus a population.json ranking")
+    ap.add_argument("--pop-overrides", default=None, metavar="JSON",
+                    help="per-member variation for --population: a JSON "
+                         "object (inline or a file path) of P-length "
+                         "lists for any of act_noise / noise_decay / "
+                         "learning_rate / learning_rate_critic")
+    ap.add_argument("--pop-search", type=int, default=None, metavar="N",
+                    help="--train --batched: random search over the "
+                         "schedule/optimizer axes (act_noise, noise_decay, "
+                         "actor/critic lr), N trials run in fused "
+                         "population rounds of --population (default 8) "
+                         "members, each scored by its eval-driven best "
+                         "(long-horizon with --eval-steps past te). Writes "
+                         "search.json + the winner as a standard "
+                         "checkpoint in --out")
     ap.add_argument("--eval-steps", type=int, default=50,
                     help="deterministic-eval rollout length (env steps) for "
                          "--batched/--mesh --eval-every runs. Beyond te/dt "
@@ -510,6 +533,10 @@ def main(argv=None):
                 raise SystemExit("--train-multi --mesh drives the sharded "
                                  "trainers; combine it with a plain --mesh, "
                                  "not --batched")
+            if args.population or args.pop_search:
+                raise SystemExit("--population/--pop-search run single-chip "
+                                 "(drop --mesh); population x dp composition "
+                                 "is future work (ROADMAP.md)")
             return run_dp_batched(args)
         return run_sharded(args)
 
@@ -673,6 +700,96 @@ def main(argv=None):
         if setup.random_init is not None:
             keys = jax.random.split(jax.random.PRNGKey(setup.seed), 32)
             pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+        if args.pop_search:
+            # schedule/optimizer hyperparameter search, every round of up to
+            # --population trials fused as ONE program, scored on the
+            # long-horizon eval (train/population.py::population_search)
+            from distributedconvrl_pde_control_tpu.train.population import (
+                population_search,
+            )
+
+            best, trials, best_hook, best_state = population_search(
+                setup.env, setup.agent,
+                BatchedTrainerConfig(n_envs=n_envs,
+                                     batch_size=args.learner_batch or 256,
+                                     update_loops=1,
+                                     min_best_episode=setup.min_best_episode),
+                args.pop_search, total_steps=args.total_steps,
+                members_per_round=args.population or 8,
+                seed=args.seed if args.seed is not None else setup.seed,
+                noise_decay_every=args.noise_every or 0,
+                eval_every=args.eval_every or 50,
+                eval_steps=args.eval_steps, chunk_len=args.chunk_len or 50,
+                y0_pool=pool)
+            with open(os.path.join(out_dir, "search.json"), "w") as f:
+                json.dump({"best": best, "trials": trials}, f, indent=1)
+            if best_state is not None:
+                ts_std = TrainState(
+                    agent=best_state,
+                    replay=replay_init(1, setup.agent.cfg.ns,
+                                       setup.agent.cfg.na_rows),
+                    key=np.asarray(jax.random.PRNGKey(
+                        args.seed if args.seed is not None else setup.seed)))
+                checkpoint.save(out_dir, ts_std, best_hook,
+                                include_replay=False,
+                                config_overrides=overrides)
+            print(f"saved search.json + winner checkpoint to {out_dir}")
+            return
+
+        if args.population:
+            # P seeds/hyper-variants as ONE fused program (train/population.py)
+            from distributedconvrl_pde_control_tpu.train.population import (
+                PopulationTrainer,
+                save_population,
+                train_population,
+            )
+
+            P = args.population
+            pov = {}
+            if args.pop_overrides:
+                raw = args.pop_overrides
+                pov = (json.loads(raw) if raw.lstrip().startswith("{")
+                       else json.load(open(raw)))
+                allowed = {"act_noise", "noise_decay",
+                           "learning_rate", "learning_rate_critic"}
+                bad = set(pov) - allowed
+                if bad:
+                    raise SystemExit(f"--pop-overrides supports {sorted(allowed)}, "
+                                     f"got {sorted(bad)}")
+                for k, v in pov.items():
+                    if len(v) != P:
+                        raise SystemExit(f"--pop-overrides[{k}] needs "
+                                         f"{P} values, got {len(v)}")
+            base_seed = args.seed if args.seed is not None else setup.seed
+            pop = PopulationTrainer(
+                setup.env, setup.agent,
+                BatchedTrainerConfig(n_envs=n_envs,
+                                     batch_size=args.learner_batch or 256,
+                                     update_loops=1,
+                                     min_best_episode=setup.min_best_episode),
+                P, y0_pool=pool,
+                lr_actor=pov.get("learning_rate"),
+                lr_critic=pov.get("learning_rate_critic"))
+            nd = pov.get("noise_decay",
+                         args.noise_decay if args.noise_decay is not None
+                         else setup.noise_decay)
+            ts, hooks, means = train_population(
+                pop, total_steps=args.total_steps,
+                key=jax.random.PRNGKey(base_seed),
+                act_noise=pov.get("act_noise"),
+                noise_decay_every=args.noise_every or max(
+                    1, args.total_steps // setup.loops),
+                noise_decay=nd,
+                chunk_len=args.chunk_len or 50, verbose=True,
+                eval_every=args.eval_every, eval_steps=args.eval_steps)
+            summary = save_population(out_dir, pop, ts, hooks,
+                                      overrides=overrides)
+            for row in summary["ranking"]:
+                print(f"  {row['dir']}: best {row['best_reward']:.4f} "
+                      f"@ ep {row['best_episode']} ({row['episodes']} eps)")
+            print(f"saved {P} members + population.json to {out_dir}")
+            return
+
         trainer = BatchedTrainer(
             setup.env, setup.agent,
             BatchedTrainerConfig(n_envs=n_envs,

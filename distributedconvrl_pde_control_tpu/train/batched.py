@@ -27,7 +27,6 @@ from distributedconvrl_pde_control_tpu.agents.replay import (
     Replay,
     replay_init,
     replay_push_flat,
-    replay_sample,
 )
 from distributedconvrl_pde_control_tpu.envs.pde_env import PDEEnv
 
@@ -294,11 +293,9 @@ class BatchedTrainer:
 
             def do_learn(a):
                 def one(a, k):
-                    # next states are stored explicitly, so every entry is a
-                    # complete transition — no newest-rows exclusion needed
-                    # (that exclusion mirrors the reference's slot arithmetic
-                    # in fidelity mode, agents/replay.py docstring)
-                    batch = replay_sample(replay, k, cfg.batch_size, 0)
+                    # sampling routed through the agent so population agents
+                    # can substitute member-region sampling (ddpg.py::sample)
+                    batch = agent.sample(replay, k, cfg.batch_size)
                     return agent.learn_batch(a, batch, axis_name), None
 
                 a, _ = jax.lax.scan(one, a, jax.random.split(k_learn, cfg.update_loops))

@@ -270,3 +270,30 @@ def test_cli_train_multi_sharded(tmp_path):
         assert os.path.exists(
             os.path.join(out, "saves", f"agent_light{n}.msgpack"))
         assert os.path.exists(os.path.join(out, "saves", f"hook{n}.npz"))
+
+
+@pytest.mark.slow
+def test_cli_population_train_then_eval_member(tmp_path):
+    """--population: P members train as one fused program, each saved as a
+    standard checkpoint that the plain --eval path loads."""
+    out = str(tmp_path / "pop")
+    r = run_cli("KS22", "--train", "--batched", "--cpu", "--population", "2",
+                "--total-steps", "40", "--chunk-len", "20", "--n-envs", "4",
+                "--learner-batch", "16", "--eval-every", "20",
+                "--eval-steps", "10", "--seed", "59",
+                "--pop-overrides", '{"act_noise": [1.2, 0.3]}',
+                "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "population.json")))
+    assert summary["n_members"] == 2
+    assert len(summary["ranking"]) == 2
+    dirs = sorted(row["dir"] for row in summary["ranking"])
+    assert dirs == ["member_00", "member_01"]
+    member = os.path.join(out, dirs[0])
+    r = run_cli("KS22", "--eval", "--cpu", "--load-from", member, "--p-te",
+                "10", "--p-t-action", "5", "--out", str(tmp_path / "ev"),
+                cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(next(l for l in r.stdout.strip().splitlines()
+                            if l.startswith("{")))
+    assert stats["pre_control_mean_abs_dev"] > 0
