@@ -67,6 +67,19 @@ def main():
     print(json.dumps({"row": "KS22_tp_lh (spectral-carry-tier-trained) stabilization",
                       **suppression(setup, actor_tpl, 200.0, 100.0)}))
 
+    # --- r04 population-study artifacts: member 0 of the 8-member fused
+    # lh-recipe study (artifacts/KS22_tp_pop8, full distribution in
+    # RESULTS.md) and the 16-trial fused schedule-search winner
+    # (artifacts/KS22_popsearch + search.json)
+    setup, actor_p0 = load_actor(lambda: C.build_ks(C.KS22),
+                                 "artifacts/KS22_tp_pop8/member_00")
+    print(json.dumps({"row": "KS22_tp_pop8 member 0 (fused 8-member study) stabilization",
+                      **suppression(setup, actor_p0, 200.0, 100.0)}))
+    setup, actor_ps = load_actor(lambda: C.build_ks(C.KS22),
+                                 "artifacts/KS22_popsearch")
+    print(json.dumps({"row": "KS22_popsearch winner (fused schedule search) stabilization",
+                      **suppression(setup, actor_ps, 200.0, 100.0)}))
+
     # --- r04 long-horizon-selected KS22 record artifact (gentle x0.5/1000
     # schedule at HALF the old gentle budget + 500-step eval selection —
     # RESULTS.md: 0.24%/2.45%/0.27% across training seeds 59/11/23)
