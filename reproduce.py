@@ -137,6 +137,18 @@ def main():
     print(json.dumps({"row": "KS200_batched_lh -> mu=0.02 disturbed",
                       **suppression(sdist, actor200lh, 200.0, 100.0)}))
 
+    # --- r04 KS200 population-study record member (8 members trained as
+    # one fused program; RESULTS.md: 0.21% x6 / 0.56% x2 native,
+    # member 0 transfers 0.11% -> KS500, 0.22% -> disturbed)
+    _, actor200p = load_actor(lambda: C.build_ks(C.KS200),
+                              "artifacts/KS200_pop8/member_00")
+    print(json.dumps({"row": "KS200_pop8 member 0 stabilization",
+                      **suppression(s200, actor200p, 200.0, 100.0)}))
+    print(json.dumps({"row": "KS200_pop8 member 0 -> KS500 transfer",
+                      **suppression(s500, actor200p, 200.0, 100.0)}))
+    print(json.dumps({"row": "KS200_pop8 member 0 -> mu=0.02 disturbed",
+                      **suppression(sdist, actor200p, 200.0, 100.0)}))
+
     # --- KS200-scale hyperopt winner (same trial-15 config as KS22;
     # RESULTS.md 'KS200-scale search': 2.12% native / 2.03% -> KS500)
     hw200cfg = dataclasses.replace(

@@ -225,3 +225,27 @@ def test_population_search_rounds_and_winner(tmp_path):
                             jax.random.PRNGKey(0))
     ts0, hook0 = checkpoint.load(str(tmp_path / "win"), tmpl)
     assert hook0.best_actor is not None
+
+
+def test_population_keller_segel_family():
+    """Family generality: the multi-row Keller-Segel buffers take the plain
+    member gather (no 128-block fast path) and the flat trainer runs the
+    stencil solver unchanged."""
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16_FAST,
+        build_keller_segel,
+    )
+
+    setup = build_keller_segel(KELLER_SEGEL_10_16_FAST)
+    pool = _pool(setup, n=4)
+    pop = PopulationTrainer(setup.env, setup.agent,
+                            BatchedTrainerConfig(n_envs=2, batch_size=8,
+                                                 update_loops=1),
+                            n_members=2, y0_pool=pool)
+    assert pop.agent.cfg.ns > 1  # multi-row obs -> plain gather path
+    ts, hooks, means = train_population(pop, total_steps=20, chunk_len=10,
+                                        key=jax.random.PRNGKey(0),
+                                        eval_every=10, eval_steps=5)
+    assert np.isfinite(means).all()
+    for h in hooks:
+        assert np.isfinite(h.bestreward)
