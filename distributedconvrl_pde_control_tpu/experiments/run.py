@@ -306,7 +306,7 @@ def run_dp_batched(args):
         setup.env, setup.agent,
         BatchedTrainerConfig(n_envs=n_envs,
                              batch_size=args.learner_batch or 256,
-                             update_loops=1,
+                             update_loops=args.update_loops,
                              min_best_episode=setup.min_best_episode),
         dp_mesh(n_dp), y0_pool=pool,
     )
@@ -470,6 +470,12 @@ def main(argv=None):
                          "object (inline or a file path) of P-length "
                          "lists for any of act_noise / noise_decay / "
                          "learning_rate / learning_rate_critic")
+    ap.add_argument("--update-loops", type=int, default=1,
+                    help="--batched-family gradient steps per fused env "
+                         "step (the reference's update_loops, 20 in "
+                         "fidelity mode; the batched default 1 relies on "
+                         "the huge per-step batch instead — families with "
+                         "LONG episodes may need gradient-budget parity)")
     ap.add_argument("--pop-search", type=int, default=None, metavar="N",
                     help="--train --batched: random search over the "
                          "schedule/optimizer axes (act_noise, noise_decay, "
@@ -712,7 +718,7 @@ def main(argv=None):
                 setup.env, setup.agent,
                 BatchedTrainerConfig(n_envs=n_envs,
                                      batch_size=args.learner_batch or 256,
-                                     update_loops=1,
+                                     update_loops=args.update_loops,
                                      min_best_episode=setup.min_best_episode),
                 args.pop_search, total_steps=args.total_steps,
                 members_per_round=args.population or 8,
@@ -765,7 +771,7 @@ def main(argv=None):
                 setup.env, setup.agent,
                 BatchedTrainerConfig(n_envs=n_envs,
                                      batch_size=args.learner_batch or 256,
-                                     update_loops=1,
+                                     update_loops=args.update_loops,
                                      min_best_episode=setup.min_best_episode),
                 P, y0_pool=pool,
                 lr_actor=pov.get("learning_rate"),
@@ -794,7 +800,7 @@ def main(argv=None):
             setup.env, setup.agent,
             BatchedTrainerConfig(n_envs=n_envs,
                                  batch_size=args.learner_batch or 256,
-                                 update_loops=1,
+                                 update_loops=args.update_loops,
                                  min_best_episode=setup.min_best_episode),
             y0_pool=pool,
         )

@@ -174,6 +174,19 @@ def main():
                       "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
                       "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
 
+    # --- r04 Keller-Segel record: population member 3 (batched recipe at
+    # gradient-budget parity, --update-loops 20; RESULTS.md r04 table:
+    # 0.015-0.023 suppression on every unseen init, ~2x the fast artifact)
+    _, ks_actor_p = load_actor(
+        lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16_FAST),
+        "artifacts/KellerSegel_pop8/member_03")
+    traces = rollout(ks_setup.env, actor_policy(ks_setup.agent, ks_actor_p),
+                     y0=y0, te=12.0, t_action=4.0)
+    dev = np.abs(np.asarray(traces["y"])[:, 0] - 1.0)
+    print(json.dumps({"row": "KellerSegel_pop8 member 3 regulation",
+                      "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
+                      "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
+
     # --- Keller-Segel PPO artifact (RESULTS.md PPO table: ~45% deviation
     # suppression on unseen seeds — between the original and fast DDPG rows)
     from distributedconvrl_pde_control_tpu.agents.ppo import (
