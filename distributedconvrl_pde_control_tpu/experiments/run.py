@@ -109,10 +109,15 @@ def build_setup(name: str, config_overrides=None):
     }
     for ks_name, ks_cfg in [("KS22", C.KS22), ("KS200", C.KS200),
                             ("KS500", C.KS500), ("KS22_64", C.KS22_64)]:
+        # measured per grid: the spectral carry wins at nx>=192 (fewer
+        # boundary transforms) but REGRESSES the 64-point coarse tier 6%
+        # (nxh=33 pads to 128 lanes, so the carry doubles carried-state
+        # bytes for tiny transform savings — PERFORMANCE.md coarse note)
+        tier = dict(_KS_TP, spectral_carry=(ks_cfg.nx >= 192))
         builders[ks_name + "_tp"] = (
             C.build_ks,
-            lambda c=ks_cfg, n=ks_name: dataclasses.replace(
-                c, name=n + "_tp", **_KS_TP))
+            lambda c=ks_cfg, n=ks_name, t=tier: dataclasses.replace(
+                c, name=n + "_tp", **t))
     for fluid_name in ["Fluid_8", "Fluid_16", "Fluid_32", "Fluid_8_256",
                        "Fluid_16_256", "Fluid_16_256_fast",
                        "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",
