@@ -40,8 +40,12 @@ columns, its gradients come only from its own replay region (slot
 arithmetic below), and its Adam state is its own stacked row — verified by
 the 0-lr freeze and region-isolation tests (tests/test_population.py).
 Members are statistically independent runs of the same recipe, not
-bitwise replicas of standalone seeds (the flattened layout shares per-step
-key draws across the member axis).
+bitwise replicas of standalone seeds. The divergences are pinned exactly
+by tests/test_population.py::test_population_p1_matches_solo: the
+member-axis init key split and the member-region sampler's two-draw slot
+scheme (plus float-ULP rounding reorder in the vmapped learn math) — the
+entire P=1 rollout path is bitwise-equal to the solo BatchedTrainer, and
+per-step exploration/reset key draws are shared across the member axis.
 """
 
 from __future__ import annotations

@@ -14,7 +14,10 @@ import numpy as np
 from distributedconvrl_pde_control_tpu.agents.replay import Replay
 from distributedconvrl_pde_control_tpu.configs.ks import KS22, build_ks
 from distributedconvrl_pde_control_tpu.models.mlp import apply_chain
-from distributedconvrl_pde_control_tpu.train.batched import BatchedTrainerConfig
+from distributedconvrl_pde_control_tpu.train.batched import (
+    BatchedTrainer,
+    BatchedTrainerConfig,
+)
 from distributedconvrl_pde_control_tpu.train.population import (
     PopulationTrainer,
     member_slot_indices,
@@ -225,6 +228,99 @@ def test_population_search_rounds_and_winner(tmp_path):
                             jax.random.PRNGKey(0))
     ts0, hook0 = checkpoint.load(str(tmp_path / "win"), tmpl)
     assert hook0.best_actor is not None
+
+
+def test_population_p1_matches_solo():
+    """A P=1 population IS the flat BatchedTrainer on the entire rollout
+    path. The ONLY key-draw divergences from a solo run (the precise
+    content of the population.py ARCHITECTURE note / PARITY.md row) are:
+
+    (a) the member-axis INIT split — PopulationDDPG.init_state stacks solo
+        inits over jax.random.split(key, P), so the P=1 member's params
+        come from split(key, 1)[0], not key itself;
+    (b) the member-region SAMPLER's two-draw slot scheme —
+        member_slot_indices draws (k_idx, j_idx) randints where
+        replay_sample draws one flat slot index, so learn-gated steps
+        consume different sampled batches (identical per-member slot
+        DISTRIBUTION, test_member_slot_indices_stay_in_member_regions).
+
+    With (a) aligned and the learn gate off, a multi-step chunk of the
+    P=1 population program must reproduce the solo trainer BITWISE —
+    policy forward, exploration noise, env step, auto-reset, replay
+    pushes, episode accounting. The learn MATH is pinned per-member
+    separately (test_population_p1_learn_math_matches_solo: float-ULP —
+    the member vmap reorders the Adam/matmul rounding)."""
+    setup = build_ks(CFG)
+    pool = _pool(setup)
+    solo = BatchedTrainer(setup.env, setup.agent, TCFG, y0_pool=pool)
+    pop = PopulationTrainer(setup.env, setup.agent, TCFG, 1, y0_pool=pool)
+
+    key = jax.random.PRNGKey(5)
+    ts_pop = pop.init(key)
+    # align divergence (a): the population member's agent key is
+    # split(k_agent, 1)[0]; feed the solo trainer that same key
+    k_agent, k_envs, k_run = jax.random.split(key, 3)
+    ts_solo = solo.init_from_keys(jax.random.split(k_agent, 1)[0],
+                                  k_envs, k_run)
+
+    # init equality: the stacked member leaves squeeze to the solo leaves
+    for lp, ls in zip(jax.tree.leaves(jax.tree.map(np.asarray, ts_pop.agent.actor)),
+                      jax.tree.leaves(jax.tree.map(np.asarray, ts_solo.agent.actor))):
+        assert np.array_equal(lp[0], ls)
+    assert np.array_equal(np.asarray(ts_pop.obs_flat),
+                          np.asarray(ts_solo.obs_flat))
+
+    # 170 learn-off steps cross the 160-step episode boundary (auto-reset
+    # cond + fresh-IC draws + terminal masking all exercised)
+    ts_pop, recs_pop = pop.make_chunk_fn(170, learn=False)(ts_pop)
+    ts_solo, recs_solo = solo.make_chunk_fn(170, learn=False)(ts_solo)
+    assert np.array_equal(np.asarray(recs_pop), np.asarray(recs_solo))
+    for name in ("obs_flat", "ep_reward", "ep_count", "total_env_steps",
+                 "best_reward", "key"):
+        assert np.array_equal(np.asarray(getattr(ts_pop, name)),
+                              np.asarray(getattr(ts_solo, name))), name
+    for fld in ("s", "a", "r", "t", "sn", "ptr", "size"):
+        assert np.array_equal(np.asarray(getattr(ts_pop.replay, fld)),
+                              np.asarray(getattr(ts_solo.replay, fld))), fld
+    assert np.array_equal(np.asarray(ts_pop.env_states.y),
+                          np.asarray(ts_solo.env_states.y))
+
+
+def test_population_p1_learn_math_matches_solo():
+    """PopulationDDPG.learn_batch is a vmap of the stock per-member learn
+    step: fed the SAME sampled batch, the P=1 member's post-update state
+    equals the solo agent's to float-ULP (the vmap batches the matmuls/
+    Adam elementwise ops, which reorders their rounding — measured ~1e-10
+    on first-step updates of magnitude ~lr). So divergence (b) above —
+    WHICH slots get sampled — plus this rounding reorder is the whole
+    learn-path difference."""
+    from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent
+
+    setup = build_ks(CFG)
+    pop = _pop(n_members=1)
+    agent = pop.agent
+    solo = DDPGAgent(agent.base_cfg)
+    st_solo = solo.init_state(jax.random.PRNGKey(11))
+    st_pop = jax.tree.map(lambda x: jnp.asarray(x)[None], st_solo).replace(
+        update_step=st_solo.update_step,
+        act_noise=jnp.full((1,), float(st_solo.act_noise), jnp.float32))
+    rng = np.random.default_rng(2)
+    b = 32
+    batch = (
+        jnp.asarray(rng.normal(size=(agent.cfg.ns, b)), jnp.float32),
+        jnp.asarray(rng.normal(size=(agent.cfg.na_rows, b)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b,)), jnp.float32),
+        jnp.asarray((rng.random(b) < 0.1).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(agent.cfg.ns, b)), jnp.float32),
+    )
+    out_solo = solo.learn_batch(st_solo, batch)
+    out_pop = agent.learn_batch(st_pop, jax.tree.map(lambda x: x[None], batch))
+    for lp, ls in zip(
+            jax.tree.leaves(jax.tree.map(np.asarray, (out_pop.actor, out_pop.critic,
+                                                      out_pop.target_actor))),
+            jax.tree.leaves(jax.tree.map(np.asarray, (out_solo.actor, out_solo.critic,
+                                                      out_solo.target_actor)))):
+        np.testing.assert_allclose(lp[0], ls, rtol=0, atol=1e-8)
 
 
 def test_population_keller_segel_family():
