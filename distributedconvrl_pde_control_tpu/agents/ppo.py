@@ -227,6 +227,66 @@ class PPOTrainer:
         y0 = jnp.asarray(self.env.y0)
         return jnp.broadcast_to(y0, (self.n_envs,) + y0.shape)
 
+    # ------------------------------------------------------------------ eval
+    def eval_mean_reward(self, params, n_steps: int, key=None) -> float:
+        """Deterministic mean-policy evaluation over one vmapped episode
+        batch: mean per-step reward over active steps. LONG-HORIZON
+        SEMANTICS match BatchedTrainer.eval_mean_reward — past the training
+        episode cap te/dt the rollout runs on a te-overridden env clone, so
+        `n_steps=500` measures 500 REAL steps of stabilization (the
+        reference's plot_heat quality metric, /root/reference/src/
+        plotting.jl:4-169) instead of the te-capped transient. Blow-up
+        termination stays active and masks post-termination steps."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if not hasattr(self, "_eval_fns"):
+            self._eval_fns = {}
+        run = self._eval_fns.get(n_steps)
+        if run is None:
+            run = self._make_eval_fn(n_steps)
+            self._eval_fns[n_steps] = run
+        import numpy as np
+
+        rs, actives = run(params, self._y0s(key))
+        rs, actives = np.asarray(rs), np.asarray(actives)
+        return float(rs[actives].mean()) if actives.any() else float("nan")
+
+    def _make_eval_fn(self, n_steps: int):
+        env, agent = self.env, self.agent
+        cfg = agent.cfg
+        n_act = env.action_shape[1]
+        B = self.n_envs
+        needed_te = env.t0 + n_steps * env.dt
+        eval_env = (dataclasses.replace(env, te=float(needed_te) + env.dt)
+                    if needed_te > env.te else env)
+
+        @jax.jit
+        def run(params, y0s):
+            estates = jax.vmap(eval_env.reset)(y0s)
+
+            def body(carry, _):
+                estates = carry
+                obs = jnp.moveaxis(estates.obs, 0, 1).reshape(cfg.ns, B * n_act)
+                mu, _ = agent.dist(params, obs)
+                a = jnp.clip(mu, -cfg.act_limit, cfg.act_limit)
+                actions = jnp.moveaxis(a.reshape(cfg.na, B, n_act), 1, 0)
+                active = jnp.logical_not(estates.done)
+                new_estates = jax.vmap(eval_env.step)(estates, actions)
+                estates = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        active.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+                    new_estates, estates)
+                # a blow-up step can carry a non-finite reward (fluid's
+                # 'reward' guard fires ON the offending step); exclude it
+                # from the mean like the DDPG eval does
+                step_r = jnp.mean(new_estates.reward, -1)
+                ok = jnp.logical_and(active, jnp.isfinite(step_r))
+                return estates, (jnp.where(ok, step_r, 0.0), ok)
+
+            _, (rs, actives) = jax.lax.scan(body, estates, None, length=n_steps)
+            return rs, actives
+
+        return run
+
     def make_train_iter(self):
         env, agent = self.env, self.agent
         cfg = agent.cfg
@@ -292,13 +352,25 @@ def ppo_policy(agent: PPOAgent, pstate_or_params, deterministic: bool = True):
     return policy_fn
 
 
-def train_ppo(trainer: PPOTrainer, iters: int, key=None, verbose: bool = True):
+def train_ppo(trainer: PPOTrainer, iters: int, key=None, verbose: bool = True,
+              eval_every: int = 0, eval_steps: int = 50):
     """PPO training driver: `iters` collect+update iterations with host-side
     reward accounting and best-params snapshotting (the PPO analogue of the
     PDEhook best-actor tracking; the reference ships create_agent_ppo with
     no driver at all, PDEagent.jl:462-512).
 
-    Returns (PPOState, dict with rewards/best_params/best_reward/best_iter).
+    `eval_every > 0` runs a DETERMINISTIC mean-policy evaluation every N
+    iterations and selects best params on it — with `eval_steps` past te/dt
+    that is the long-horizon stabilization metric (the reference's plot_heat
+    protocol, plotting.jl:4-169). The default (eval_every=0) keeps the
+    legacy selection on the training iteration's mean rollout reward, which
+    is a noisy exploration-contaminated TRANSIENT metric measured to rank
+    configs BACKWARDS on the long horizon (RESULTS.md `--ppo-ref` row:
+    transient -0.0090 beat -0.0059 at te=200) — prefer eval selection for
+    anything shipped, exactly like the DDPG batched/sharded drivers.
+
+    Returns (PPOState, dict with rewards/best_params/best_reward/best_iter/
+    evals/selection).
     """
     import numpy as np
 
@@ -308,17 +380,30 @@ def train_ppo(trainer: PPOTrainer, iters: int, key=None, verbose: bool = True):
     pstate = agent.init_state(k0)
     it = trainer.make_train_iter()
     rewards = []
+    evals = []
     best = {"reward": -np.inf, "iter": 0, "params": None}
     for i in range(iters):
         key, k = jax.random.split(key)
         pstate, mean_r = it(pstate, k)
         r = float(mean_r)
         rewards.append(r)
-        if r > best["reward"]:
+        if eval_every:
+            if (i + 1) % eval_every == 0 or i + 1 == iters:
+                r_eval = trainer.eval_mean_reward(agent._params(pstate),
+                                                  eval_steps)
+                evals.append((i + 1, r_eval))
+                if r_eval > best["reward"]:
+                    best.update(reward=r_eval, iter=i + 1,
+                                params=jax.tree.map(np.asarray,
+                                                    agent._params(pstate)))
+        elif r > best["reward"]:
             best.update(reward=r, iter=i + 1,
                         params=jax.tree.map(np.asarray, agent._params(pstate)))
         if verbose and (i + 1) % max(1, iters // 10) == 0:
+            tail = (f" eval {evals[-1][1]:.4f}" if evals else "")
             print(f"[ppo] iter {i + 1}/{iters} mean step reward {r:.4f} "
-                  f"(best {best['reward']:.4f} @ {best['iter']})")
+                  f"(best {best['reward']:.4f} @ {best['iter']}){tail}")
     return pstate, {"rewards": np.asarray(rewards), "best_params": best["params"],
-                    "best_reward": best["reward"], "best_iter": best["iter"]}
+                    "best_reward": best["reward"], "best_iter": best["iter"],
+                    "evals": evals,
+                    "selection": "eval" if eval_every else "rollout"}

@@ -469,7 +469,10 @@ def main(argv=None):
                          "vmapped (train/population.py) — so the "
                          "multi-seed study runs at the big-batch rate. "
                          "Members save as standard checkpoints under "
-                         "OUT/member_XX plus a population.json ranking")
+                         "OUT/member_XX plus a population.json ranking. "
+                         "Composes with --mesh N: the study shards over a "
+                         "pure-dp mesh (per-member envs split across "
+                         "devices, per-member gradients pmean'd)")
     ap.add_argument("--pop-overrides", default=None, metavar="JSON",
                     help="per-member variation for --population: a JSON "
                          "object (inline or a file path) of P-length "
@@ -499,8 +502,10 @@ def main(argv=None):
                          "(the plot_heat long-horizon metric) and drives "
                          "best-actor selection on it")
     ap.add_argument("--eval-every", type=int, default=0,
-                    help="deterministic eval cadence (steps) for --batched "
-                         "and --mesh training")
+                    help="deterministic eval cadence for --batched and "
+                         "--mesh training (fused steps) and --ppo training "
+                         "(iterations); evals drive best-actor/params "
+                         "selection")
     ap.add_argument("--noise-every", type=int, default=None,
                     help="--batched noise-decay cadence in steps "
                          "(default total_steps/loops)")
@@ -544,12 +549,14 @@ def main(argv=None):
                 raise SystemExit("--train-multi --mesh drives the sharded "
                                  "trainers; combine it with a plain --mesh, "
                                  "not --batched")
-            if args.population or args.pop_search:
-                raise SystemExit("--population/--pop-search run single-chip "
-                                 "(drop --mesh); population x dp composition "
-                                 "is future work (ROADMAP.md)")
-            return run_dp_batched(args)
-        return run_sharded(args)
+            if not (args.population or args.pop_search):
+                return run_dp_batched(args)
+            # population x dp falls through to the --batched population
+            # branches below with a dp mesh (train/population.py
+            # POPULATION x DP note: every device runs a local
+            # mini-population; per-member gradients pmean over dp)
+        else:
+            return run_sharded(args)
 
     from distributedconvrl_pde_control_tpu.train import checkpoint
     from distributedconvrl_pde_control_tpu.train.drivers import train, train_multi
@@ -649,11 +656,14 @@ def main(argv=None):
                                  random_init=random_init, y0_pool=pool)
             pstate, info = train_ppo(
                 trainer, iters=args.iters,
-                key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed))
+                key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),
+                eval_every=args.eval_every, eval_steps=args.eval_steps)
             checkpoint.save_ppo(out_dir, pstate, info)
             if overrides:
                 checkpoint.save_config_overrides(out_dir, overrides)
-            print(f"saved PPO to {out_dir}; best mean step reward "
+            metric = ("deterministic eval" if info["selection"] == "eval"
+                      else "mean step")
+            print(f"saved PPO to {out_dir}; best {metric} reward "
                   f"{info['best_reward']:.4f} @ iter {info['best_iter']}")
             return
         # --eval: deterministic mean-policy rollout through the standard path
@@ -665,6 +675,33 @@ def main(argv=None):
         if args.random_init and setup.random_init is not None:
             y0 = setup.random_init(jax.random.PRNGKey(
                 args.seed if args.seed is not None else setup.seed))
+        if args.preset.startswith("Fluid"):
+            # the fluid quality protocol is the testrun ENERGY comparison
+            # (FluidSetup.jl:400-537), same as the DDPG eval branch — not
+            # the KS suppression metric
+            from distributedconvrl_pde_control_tpu.agents.policies import (
+                ZeroPolicy,
+            )
+
+            tr = rollout(setup.env, policy, y0=y0, te=args.p_te,
+                         t_action=args.p_t_action)
+            tr["energy"] = energy_trace(tr["y"])
+            zero_tr = rollout(setup.env, ZeroPolicy(setup.env.action_shape),
+                              te=args.p_te)
+            zero_tr["energy"] = energy_trace(zero_tr["y"])
+            from distributedconvrl_pde_control_tpu.train.eval import mean_energy
+
+            plotting.plot_energy(
+                {"ppo": tr["energy"], "no action": zero_tr["energy"]},
+                os.path.join(out_dir, "energy_ppo.png"))
+            print(json.dumps({"agent": "ppo",
+                              "mean_energy": mean_energy(tr),
+                              "no_action": mean_energy(zero_tr),
+                              "mean_step_reward": float(
+                                  np.asarray(tr["reward"]).mean())}))
+            if args.live:
+                plotting.live_view(tr, fps=args.fps)
+            return
         traces = rollout(setup.env, policy, y0=y0, te=args.p_te,
                          t_action=args.p_t_action)
         plotting.plot_heat(traces, os.path.join(out_dir, "heat_ppo.png"),
@@ -711,6 +748,26 @@ def main(argv=None):
         if setup.random_init is not None:
             keys = jax.random.split(jax.random.PRNGKey(setup.seed), 32)
             pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+        pop_mesh = None
+        if args.mesh and (args.population or args.pop_search):
+            from distributedconvrl_pde_control_tpu.parallel.batched_dp import (
+                dp_mesh,
+            )
+
+            spec = args.mesh.lower().split("x")
+            n_dp = int(spec[0])
+            if len(spec) > 1 and int(spec[1]) != 1:
+                raise SystemExit(f"--population shards over dp only; use "
+                                 f"--mesh {n_dp} or {n_dp}x1, got {args.mesh!r}")
+            if len(jax.devices()) < n_dp:
+                raise SystemExit(f"mesh {n_dp}x1 needs {n_dp} devices, have "
+                                 f"{len(jax.devices())} (hint: "
+                                 f"--virtual-devices N)")
+            if n_envs % n_dp:
+                raise SystemExit(f"--n-envs {n_envs} (per member) must "
+                                 f"divide by dp={n_dp}")
+            pop_mesh = dp_mesh(n_dp)
+
         if args.pop_search:
             # schedule/optimizer hyperparameter search, every round of up to
             # --population trials fused as ONE program, scored on the
@@ -731,7 +788,7 @@ def main(argv=None):
                 noise_decay_every=args.noise_every or 0,
                 eval_every=args.eval_every or 50,
                 eval_steps=args.eval_steps, chunk_len=args.chunk_len or 50,
-                y0_pool=pool)
+                y0_pool=pool, mesh=pop_mesh)
             with open(os.path.join(out_dir, "search.json"), "w") as f:
                 json.dump({"best": best, "trials": trials}, f, indent=1)
             if best_state is not None:
@@ -780,7 +837,7 @@ def main(argv=None):
                                      min_best_episode=setup.min_best_episode),
                 P, y0_pool=pool,
                 lr_actor=pov.get("learning_rate"),
-                lr_critic=pov.get("learning_rate_critic"))
+                lr_critic=pov.get("learning_rate_critic"), mesh=pop_mesh)
             nd = pov.get("noise_decay",
                          args.noise_decay if args.noise_decay is not None
                          else setup.noise_decay)

@@ -147,6 +147,10 @@ def save_ppo(dirpath: str, pstate, info: dict) -> None:
         "meta": np.frombuffer(json.dumps({
             "best_reward": float(info["best_reward"]),
             "best_iter": int(info["best_iter"]),
+            # eval-driven selection trail (train_ppo eval_every>0): which
+            # metric picked best_params, and the (iter, eval reward) curve
+            "selection": info.get("selection", "rollout"),
+            "evals": [[int(i), float(r)] for i, r in info.get("evals", [])],
         }).encode(), dtype=np.uint8),
     }
     if info.get("best_params") is not None:

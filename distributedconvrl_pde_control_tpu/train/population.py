@@ -265,21 +265,60 @@ class PopulationTrainer:
     `cfg.n_envs` is PER MEMBER; the device program runs P * n_envs
     environments member-major. `lr_actor`/`lr_critic`: optional (P,)
     per-member learning rates (see PopulationDDPG).
+
+    POPULATION x DP (`mesh`): pass a pure-dp mesh (parallel/batched_dp.py
+    dp_mesh) to shard the study over devices — exactly how a pod runs the
+    robustness studies this trainer productized (reference workflow being
+    scaled: scripts/KS/setup/KSSetup.jl:321-363). Every device runs a
+    LOCAL mini-population: P members x (n_envs / n_dp) envs member-major,
+    so the global env axis is DEVICE-major (device d's slice holds a
+    member-major block of every member). The per-member vmapped learner's
+    gradient pmean runs INSIDE the member vmap over the dp axis, which
+    scopes it per member-shard automatically — member p's gradients
+    reduce over p's env sub-blocks on all devices and never mix with
+    other members'. Replay regions, slot arithmetic, act-noise blocks,
+    and the auto-reset cond all operate on local widths unchanged
+    (DPBatchedTrainer wraps the identical per-device program). Member
+    evals run on one device's local env batch (params replicated — the
+    same convention as DPBatchedTrainer.eval_mean_reward), so the eval IC
+    batch per member is n_envs/n_dp. Layout/isolation tests:
+    tests/test_population_dp.py.
     """
 
     def __init__(self, env, agent: DDPGAgent, cfg: BatchedTrainerConfig,
                  n_members: int, random_init=None, y0_pool=None,
-                 lr_actor=None, lr_critic=None):
+                 lr_actor=None, lr_critic=None, mesh=None):
         self.n_members = int(n_members)
-        self.n_envs_per_member = cfg.n_envs
+        self.mesh = mesh
+        self.n_dp = 1 if mesh is None else mesh.shape["dp"]
+        if cfg.n_envs % self.n_dp:
+            raise ValueError(f"per-member n_envs={cfg.n_envs} must divide "
+                             f"by dp={self.n_dp}")
+        self.n_envs_per_member = cfg.n_envs  # GLOBAL per member
+        self.n_envs_member_local = cfg.n_envs // self.n_dp
         self.agent = PopulationDDPG(
-            agent.cfg, self.n_members, cfg.n_envs, lr_actor=lr_actor,
+            agent.cfg, self.n_members, self.n_envs_member_local,
+            lr_actor=lr_actor,
             lr_critic=lr_critic, hidden_act=agent.hidden_act,
             hidden_act_critic=agent.hidden_act_critic)
         flat_cfg = dataclasses.replace(cfg, n_envs=self.n_members * cfg.n_envs)
-        self.base = BatchedTrainer(env, self.agent, flat_cfg,
-                                   random_init=random_init, y0_pool=y0_pool)
+        if mesh is None:
+            self.base = BatchedTrainer(env, self.agent, flat_cfg,
+                                       random_init=random_init, y0_pool=y0_pool)
+        else:
+            from distributedconvrl_pde_control_tpu.parallel.batched_dp import (
+                DPBatchedTrainer,
+            )
+
+            self.base = DPBatchedTrainer(env, self.agent, flat_cfg, mesh,
+                                         random_init=random_init,
+                                         y0_pool=y0_pool)
         self._eval_fns = {}
+
+    @property
+    def _local(self):
+        """The per-device BatchedTrainer (the trainer itself when unsharded)."""
+        return self.base.local if self.mesh is not None else self.base
 
     # ------------------------------------------------------------------ init
     def init(self, key):
@@ -298,14 +337,16 @@ class PopulationTrainer:
         the SAME freshly-drawn initial-condition batch (tiled member-major —
         fair comparison), long-horizon semantics inherited from
         BatchedTrainer._make_eval_fn (te-overridden env clone past the
-        episode cap). Returns (P,) mean per-step rewards over active steps."""
+        episode cap). Returns (P,) mean per-step rewards over active steps.
+        On a dp mesh the eval runs one device's LOCAL env batch (params are
+        replicated; n_envs/n_dp ICs per member)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        B = self.n_envs_per_member
+        B = self.n_envs_member_local
         run = self._eval_fns.get(n_steps)
         if run is None:
-            run = self.base._make_eval_fn(n_steps)
+            run = self._local._make_eval_fn(n_steps)
             self._eval_fns[n_steps] = run
-        y0s = self.base._fresh_y0s(key, B)
+        y0s = self._local._fresh_y0s(key, B)
         y0s_flat = jnp.concatenate([y0s] * self.n_members, axis=0)
         rs, actives = run(actors, y0s_flat)
         rs, actives = np.asarray(rs), np.asarray(actives)
@@ -320,9 +361,18 @@ class PopulationTrainer:
         """Member i's (5, n_steps, n_envs) record slice of the flat plane.
         NB the REC_MEAN_REWARD row is the population-global per-step mean
         (the fused step reduces over all envs, like the DP trainer's global
-        scalars); per-member curves come from ep_reward/eval rows."""
-        B = self.n_envs_per_member
-        return packed[:, :, i * B:(i + 1) * B]
+        scalars); per-member curves come from ep_reward/eval rows.
+
+        Unsharded, the flat env axis is member-major; on a dp mesh it is
+        DEVICE-major (device blocks of member-major local slices — the
+        DPBatchedTrainer global record order), so member i's columns are
+        gathered from every device block."""
+        if self.mesh is None:
+            B = self.n_envs_per_member
+            return packed[:, :, i * B:(i + 1) * B]
+        k, n, _ = packed.shape
+        D, P, B = self.n_dp, self.n_members, self.n_envs_member_local
+        return packed.reshape(k, n, D, P, B)[:, :, :, i, :].reshape(k, n, D * B)
 
 
 def train_population(trainer: PopulationTrainer, total_steps: int, key=None,
@@ -427,7 +477,7 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
                       space=None, seed: int = 0, noise_decay_every: int = 0,
                       eval_every: int = 50, eval_steps: int = 500,
                       chunk_len: int = 50, random_init=None, y0_pool=None,
-                      verbose: bool = True):
+                      verbose: bool = True, mesh=None):
     """Schedule/optimizer hyperparameter search where every round of up to
     `members_per_round` trials trains as ONE fused population program, and
     trials are scored by their eval-driven best (default: the long-horizon
@@ -456,7 +506,7 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
         trainer = PopulationTrainer(
             env, agent, cfg, P, random_init=random_init, y0_pool=y0_pool,
             lr_actor=[p["learning_rate"] for p in batch],
-            lr_critic=[p["learning_rate_critic"] for p in batch])
+            lr_critic=[p["learning_rate_critic"] for p in batch], mesh=mesh)
         ts, hooks, _ = train_population(
             trainer, total_steps=total_steps,
             key=jax.random.PRNGKey(seed + 1000 * rnd),
@@ -502,13 +552,16 @@ def save_population(out_dir: str, trainer: PopulationTrainer, ts, hooks,
     from distributedconvrl_pde_control_tpu.train.loop import TrainState
 
     acfg = trainer.agent.base_cfg
+    key_arr = np.asarray(ts.key)
+    if key_arr.ndim == 2:  # dp-sharded runs carry a per-device key leaf
+        key_arr = key_arr[0]
     rows = []
     for i, hook in enumerate(hooks):
         tag = f"member_{i:02d}" + (f"_{member_tags[i]}" if member_tags else "")
         mdir = os.path.join(out_dir, tag)
         ts_std = TrainState(agent=trainer.agent.member_state(ts.agent, i),
                             replay=replay_init(1, acfg.ns, acfg.na_rows),
-                            key=np.asarray(ts.key))
+                            key=key_arr)
         checkpoint.save(mdir, ts_std, hook, include_replay=False,
                         config_overrides=overrides)
         rows.append({"member": i, "dir": tag,

@@ -86,6 +86,42 @@ def test_ppo_converges_on_ks():
     assert rews[-5:].mean() > rews[:5].mean() + 0.05, rews
 
 
+def test_ppo_long_horizon_eval_selection(tmp_path):
+    """train_ppo(eval_every>0) selects best params on the DETERMINISTIC
+    long-horizon eval (te-overridden env clone past the episode cap — the
+    same semantics as BatchedTrainer._make_eval_fn), not the transient
+    rollout mean; the selection trail round-trips the checkpoint."""
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.agents.ppo import train_ppo
+
+    setup = build_ks(KS22)
+    cfg = PPOConfig(ns=setup.agent.cfg.ns, na=1, rollout_len=25,
+                    n_microbatches=8, n_epochs=2)
+    agent = PPOAgent(cfg)
+    trainer = PPOTrainer(setup.env, agent, n_envs=4,
+                         random_init=ks_random_init(KS22))
+    pstate, info = train_ppo(trainer, iters=4, key=jax.random.PRNGKey(0),
+                             verbose=False, eval_every=2, eval_steps=200)
+    assert info["selection"] == "eval"
+    assert [i for i, _ in info["evals"]] == [2, 4]
+    assert info["best_reward"] == max(r for _, r in info["evals"])
+    assert info["best_params"] is not None
+    # 200 > the 160-step KS22 episode cap: the te-overridden clone keeps
+    # every step REAL (without the override the post-cap steps would all
+    # be masked inactive and the eval would reproduce the transient)
+    run = trainer._eval_fns[200]
+    rs, actives = run(agent._params(pstate),
+                      trainer._y0s(jax.random.PRNGKey(0)))
+    actives = np.asarray(actives)
+    assert actives.shape == (200, 4)
+    assert actives[180:].all(), "post-cap eval steps must stay active"
+    checkpoint.save_ppo(str(tmp_path), pstate, info)
+    _, info2 = checkpoint.load_ppo(
+        str(tmp_path), agent.init_state(jax.random.PRNGKey(0)))
+    assert info2["selection"] == "eval"
+    assert info2["evals"] == [[i, r] for i, r in info["evals"]]
+
+
 def test_ppo_checkpoint_roundtrip(tmp_path):
     from distributedconvrl_pde_control_tpu.train import checkpoint
 
