@@ -64,6 +64,19 @@ class KSConfig:
     # so the trajectory is slightly MORE accurate than the real-carry path
     # (equivalence bounded in tests/test_ks_solver.py).
     spectral_carry: bool = False
+    # etdrk4+carry-only TRAINER tier: featurize/reward/blow-up guard consume
+    # the carried half-spectrum directly, deleting the LAST per-step
+    # synthesis transform too — sensor readouts are linear in y
+    # (KSSetup.jl:190-229), so ⟨y, g_i⟩ = an exact Parseval dot against
+    # host-precomputed rfft'd kernels, and the reward's ⟨y*6, g⟩ likewise.
+    # The max|y| guard becomes the sound rms(y) > max_value surrogate
+    # (Parseval energy — never spurious, fires a step or two later into an
+    # exponential blow-up; the non-finite guard backstops). CONTRACT:
+    # EnvState.y then holds the episode's RESET field, so this is for the
+    # fused trainers/bench only (they never read y); plotting/eval rollouts
+    # use the standard presets. Measured A/B + quality gate: PERFORMANCE.md
+    # spectral-featurize note.
+    spectral_featurize: bool = False
     max_value: float = 30.0
     check_max_value: str = "y"
     # featurization
@@ -195,6 +208,9 @@ def build_ks(cfg: KSConfig = KS22) -> Setup:
         return cfg.agent_power * (action[0] @ actuator_matrix)
 
     init_carry = step_carry_fn = None
+    step_carry_only = featurize_carry = reward_carry_fn = carry_guard = None
+    if cfg.spectral_featurize and not cfg.spectral_carry:
+        raise ValueError("spectral_featurize requires spectral_carry")
     if cfg.spectral_carry:
         if cfg.stepper != "etdrk4":
             raise ValueError("spectral_carry requires stepper='etdrk4'")
@@ -211,6 +227,49 @@ def build_ks(cfg: KSConfig = KS22) -> Setup:
 
         init_carry = solver.init_carry
 
+    if cfg.spectral_featurize:
+        # Parseval rows: sum_j g_j y_j = sum_k w_k (g_re_k y_re_k +
+        # g_im_k y_im_k) with w = [1, 2, ..., 2, 1]/nx on the rfft
+        # half-spectrum (the Nyquist weight 1 requires even nx — every
+        # shipped grid). Kernels rfft'd host-side in float64, weights
+        # folded in, cast f32 — the sensor readout becomes one
+        # (n_sensors, nxh) x (nxh,) contraction pair on the carry.
+        nxh = cfg.nx // 2 + 1
+        w = np.full(nxh, 2.0 / cfg.nx)
+        w[0] = 1.0 / cfg.nx
+        if cfg.nx % 2 == 0:
+            w[-1] = 1.0 / cfg.nx
+        shat = np.fft.rfft(np.asarray(sensors, np.float64), axis=1)
+        s_re = jnp.asarray(shat.real * w, jnp.float32)
+        s_im = jnp.asarray(shat.imag * w, jnp.float32)
+        # reward uses reward_sel @ (y * 6.0): fold the 6 into the rows
+        r_re, r_im = s_re[a2s] * 6.0, s_im[a2s] * 6.0
+        w_j = jnp.asarray(w, jnp.float32)
+        inv_nx = 1.0 / cfg.nx
+
+        def step_carry_only(carry, action):
+            return solver.step_spectral_only(carry, action[0] @ g_re,
+                                             action[0] @ g_im)
+
+        def featurize_carry(carry, prev_obs=None, action=None):
+            cr, ci = carry
+            return featurizer.from_dots(s_re @ cr + s_im @ ci,
+                                        prev_obs, action)
+
+        def reward_carry_fn(carry, action, delta_action):
+            cr, ci = carry
+            dots = jnp.abs(r_re @ cr + r_im @ ci) ** 1.3 / (cfg.max_value * 3.0)
+            return (
+                -jnp.abs(dots)
+                - cfg.action_punish * action[0] ** 2
+                - cfg.delta_action_punish * delta_action[0] ** 2
+            )
+
+        def carry_guard(carry):
+            cr, ci = carry
+            mean_sq = (w_j @ (cr * cr + ci * ci)) * inv_nx
+            return jnp.sqrt(mean_sq) > cfg.max_value
+
     env = PDEEnv(
         step_fn=solver.step,
         featurize=featurizer,
@@ -226,6 +285,10 @@ def build_ks(cfg: KSConfig = KS22) -> Setup:
         check_max_value=cfg.check_max_value,
         init_carry=init_carry,
         step_carry_fn=step_carry_fn,
+        step_carry_only=step_carry_only,
+        featurize_carry=featurize_carry,
+        reward_carry_fn=reward_carry_fn,
+        carry_guard=carry_guard,
     )
 
     agent = DDPGAgent(DDPGConfig(

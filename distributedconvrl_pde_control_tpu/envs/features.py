@@ -186,13 +186,22 @@ class Conv1DFeaturizer:
     def obs_dim(self) -> int:
         return self.window_size * self.temporal_steps + self.memory_size
 
-    def __call__(self, y, prev_obs=None, action=None):
-        sensors = (self.sensor_matrix @ y) * self.scale
+    def from_dots(self, dots, prev_obs=None, action=None):
+        """Featurize from precomputed raw sensor dot products <y, g_i>.
+
+        Split out (like Conv2DFeaturizer.from_dots) so the spectral-
+        featurize tier can compute the dots as exact Parseval contractions
+        against pre-transformed kernels on the carried half-spectrum
+        (configs/ks.py `spectral_featurize`)."""
+        sensors = dots * self.scale
         base = _window_stack_1d(sensors, self.window_size)
         base = base[:, self.actuators_to_sensors]
         return _temporal_and_memory(
             base, prev_obs, action, self.temporal_steps, self.memory_size, self.n_actuators
         )
+
+    def __call__(self, y, prev_obs=None, action=None):
+        return self.from_dots(self.sensor_matrix @ y, prev_obs, action)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -94,6 +95,26 @@ class PDEEnv:
     # real forcing plane), so every downstream semantic is unchanged.
     init_carry: Optional[Callable] = None
     step_carry_fn: Optional[Callable] = None
+    # Spectral-FEATURIZE tier (perf tier on top of the carry; all four or
+    # none — configs/ks.py `spectral_featurize`): featurize/reward/blow-up
+    # guard consume the CARRY directly (sensor readouts are linear in y, so
+    # ⟨y, g_i⟩ is an exact Parseval dot on the half-spectrum), and the step
+    # skips the last per-step synthesis transform entirely:
+    #   step_carry_only(carry, action) -> carry'
+    #   featurize_carry(carry, prev_obs, action) -> obs
+    #   reward_carry_fn(carry, action, delta_action) -> rewards
+    #   carry_guard(carry) -> bool    (check_max_value surrogate; for "y"
+    #       mode a SOUND under-trigger: rms(y) > max_value implies
+    #       max|y| > max_value, so it never fires spuriously but fires a
+    #       step or two later into an exponential blow-up than the exact
+    #       max — the non-finite guard still backstops)
+    # CONTRACT: EnvState.y then holds the episode's RESET field, not the
+    # per-step field — a TRAINER tier (the fused trainers never read y);
+    # plotting/eval rollouts use the standard presets.
+    step_carry_only: Optional[Callable] = None
+    featurize_carry: Optional[Callable] = None
+    reward_carry_fn: Optional[Callable] = None
+    carry_guard: Optional[Callable] = None
 
     @property
     def max_steps(self) -> int:
@@ -105,7 +126,10 @@ class PDEEnv:
     def reset(self, y0: Optional[jnp.ndarray] = None) -> EnvState:
         y = jnp.asarray(self.y0 if y0 is None else y0)
         action0 = jnp.zeros(self.action_shape, jnp.float32)
-        obs = self.featurize(y, None, None)
+        if self.featurize_carry is not None:
+            obs = self.featurize_carry(self.init_carry(y), None, None)
+        else:
+            obs = self.featurize(y, None, None)
         return EnvState(
             y=y,
             obs=obs,
@@ -123,12 +147,20 @@ class PDEEnv:
         """Pure step operator (PDEenv.jl:195-241)."""
         delta_action = action - state.action
         forcing = self.prepare_action(action)
-        if self.step_carry_fn is not None:
+        spectral_io = self.featurize_carry is not None
+        if spectral_io:
+            carry = self.step_carry_only(state.carry, action)
+            y = state.y  # stale: the episode's reset field (tier CONTRACT)
+            reward = self.reward_carry_fn(carry, action, delta_action)
+            obs = self.featurize_carry(carry, state.obs, action)
+        elif self.step_carry_fn is not None:
             carry, y = self.step_carry_fn(state.carry, action)
+            reward = self.reward_fn(y, action, delta_action)
+            obs = self.featurize(y, state.obs, action)
         else:
             carry, y = None, self.step_fn(state.y, forcing)
-        reward = self.reward_fn(y, action, delta_action)
-        obs = self.featurize(y, state.obs, action)
+            reward = self.reward_fn(y, action, delta_action)
+            obs = self.featurize(y, state.obs, action)
         steps = state.steps + 1
         # time = t0 + steps*dt (not accumulated) so the te comparison is
         # exact under f32 — 50 additions of f32(0.1) drift below 5.0
@@ -137,14 +169,22 @@ class PDEEnv:
         )
         done = time >= self.te * (1.0 - 1e-6)
         if self.check_max_value == "y":
-            blowup = jnp.max(jnp.abs(y)) > self.max_value
+            if spectral_io:
+                blowup = self.carry_guard(carry)
+            else:
+                blowup = jnp.max(jnp.abs(y)) > self.max_value
             done = jnp.logical_or(done, blowup)
         elif self.check_max_value == "reward":
             blowup = jnp.max(jnp.abs(reward)) > self.max_value
             done = jnp.logical_or(done, blowup)
         # non-finite fields always terminate (jit-safe NaN guard; the
         # reference reaches the same outcome through max() comparisons)
-        finite = jnp.all(jnp.isfinite(jnp.abs(y.reshape(-1)))) & jnp.all(jnp.isfinite(reward))
+        if spectral_io:
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(carry)]
+            )) & jnp.all(jnp.isfinite(reward))
+        else:
+            finite = jnp.all(jnp.isfinite(jnp.abs(y.reshape(-1)))) & jnp.all(jnp.isfinite(reward))
         done = jnp.logical_or(done, jnp.logical_not(finite))
         return EnvState(
             y=y,

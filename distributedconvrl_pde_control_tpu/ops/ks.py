@@ -232,9 +232,25 @@ class KSSolverETDRK4:
         (vr, vi), y = self._advance(carry, fr, fi)
         return (vr, vi), y
 
+    @partial(jax.jit, static_argnums=0)
+    def step_spectral_only(self, carry, fr: jnp.ndarray, fi: jnp.ndarray):
+        """`step_spectral` minus the final synthesis transform — for the
+        spectral-featurize tier (configs/ks.py `spectral_featurize`), where
+        featurize/reward/blow-up termination consume the carried
+        half-spectrum directly (sensor readouts are linear in y,
+        KSSetup.jl:190-229, so ⟨y, g_i⟩ is an exact Parseval dot against
+        pre-transformed kernels). ZERO full-tier transforms remain in the
+        env step."""
+        return self._advance_spectral(carry, fr, fi)
+
     def _advance(self, carry, fr, fi):
         """`oversampling` ETDRK4 substeps from spectral state + spectral
         forcing; returns (new_carry, real-space field)."""
+        (vr, vi) = self._advance_spectral(carry, fr, fi)
+        return (vr, vi), fourier.irfft_ri(vr, vi, self.nx, mode=self.fft_mode)
+
+    def _advance_spectral(self, carry, fr, fi):
+        """The spectral-state advance shared by step/step_spectral[_only]."""
         mode = self.fft_mode
         nl_mode = self.nl_fft_mode or mode
         vr, vi = carry
@@ -264,4 +280,4 @@ class KSSolverETDRK4:
             return (vr, vi), None
 
         (vr, vi), _ = jax.lax.scan(substep, (vr, vi), None, length=self.oversampling)
-        return (vr, vi), fourier.irfft_ri(vr, vi, self.nx, mode=mode)
+        return (vr, vi)

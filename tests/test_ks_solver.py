@@ -281,3 +281,105 @@ def test_spectral_carry_batched_trainer_runs():
     assert ts.env_states.carry[0].shape == (4, KS22.nx // 2 + 1)
     r = trainer.eval_mean_reward(ts.agent.actor, n_steps=10)
     assert np.isfinite(r)
+
+
+def test_spectral_featurize_matches_carry_tier():
+    """The spectral-featurize tier (configs/ks.py spectral_featurize):
+    featurize/reward consume the carried half-spectrum via exact Parseval
+    contractions and the step skips the last synthesis transform. Against
+    the carry tier over a forced rollout: carries advance BITWISE
+    identically (step_spectral_only is step_spectral minus the synthesis),
+    and obs/reward match to f32 contraction-reordering tolerance."""
+    import dataclasses
+
+    import jax
+
+    from distributedconvrl_pde_control_tpu.configs.ks import KS22, build_ks
+
+    base = dataclasses.replace(KS22, stepper="etdrk4", fft_mode="native",
+                               spectral_carry=True)
+    env_c = build_ks(base).env
+    env_sf = build_ks(dataclasses.replace(base, spectral_featurize=True)).env
+    s_c, s_sf = env_c.reset(), env_sf.reset()
+    np.testing.assert_allclose(np.asarray(s_sf.obs), np.asarray(s_c.obs),
+                               atol=2e-6)
+    key = jax.random.PRNGKey(3)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, env_c.action_shape, jnp.float32, -1.0, 1.0)
+        s_c, s_sf = env_c.step(s_c, a), env_sf.step(s_sf, a)
+        for cc, cs in zip(s_c.carry, s_sf.carry):
+            np.testing.assert_array_equal(np.asarray(cc), np.asarray(cs))
+        np.testing.assert_allclose(np.asarray(s_sf.obs),
+                                   np.asarray(s_c.obs), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s_sf.reward),
+                                   np.asarray(s_c.reward), atol=2e-5)
+        assert bool(s_sf.done) == bool(s_c.done)
+    # EnvState.y contract: the sf tier holds the RESET field (stale)
+    np.testing.assert_array_equal(np.asarray(s_sf.y), np.asarray(env_sf.y0))
+
+
+def test_spectral_featurize_guard_is_sound_parseval_rms():
+    """The blow-up surrogate: (a) the Parseval mean-square on the carry
+    equals the real-space rms (weights correct), (b) a high-energy carry
+    terminates the episode, (c) a NaN carry terminates (non-finite guard
+    reads the carry, since y is stale on this tier)."""
+    import dataclasses
+
+    import jax
+
+    from distributedconvrl_pde_control_tpu.configs.ks import KS22, build_ks
+
+    cfg = dataclasses.replace(KS22, stepper="etdrk4", fft_mode="native",
+                              spectral_carry=True, spectral_featurize=True)
+    env = build_ks(cfg).env
+    s = env.reset()
+    # (a) weights: rms from the carry == rms of the real field
+    cr, ci = s.carry
+    nxh = KS22.nx // 2 + 1
+    w = np.full(nxh, 2.0 / KS22.nx)
+    w[0] = w[-1] = 1.0 / KS22.nx
+    rms_spec = np.sqrt(w @ (np.asarray(cr) ** 2 + np.asarray(ci) ** 2) / KS22.nx)
+    rms_real = np.sqrt(np.mean(np.asarray(env.y0) ** 2))
+    np.testing.assert_allclose(rms_spec, rms_real, rtol=1e-5)
+    a0 = jnp.zeros(env.action_shape, jnp.float32)
+    # (b) scaled-up carry -> rms >> max_value -> done (blow-up or non-finite
+    # after one huge ETDRK4 step; either guard must catch it)
+    s_big = s.replace(carry=jax.tree.map(lambda x: x * 1e4, s.carry))
+    assert bool(env.step(s_big, a0).done)
+    # (c) NaN carry -> done
+    s_nan = s.replace(carry=jax.tree.map(lambda x: x * jnp.nan, s.carry))
+    assert bool(env.step(s_nan, a0).done)
+
+
+def test_spectral_featurize_batched_trainer_runs():
+    """The sf tier under the fused trainer: flat carries, auto-reset,
+    replay, learner, eval — finite end to end across episode boundaries."""
+    import dataclasses
+
+    import jax
+
+    from distributedconvrl_pde_control_tpu.configs.ks import (
+        KS22,
+        build_ks,
+        ks_random_init,
+    )
+    from distributedconvrl_pde_control_tpu.train.batched import (
+        BatchedTrainer,
+        BatchedTrainerConfig,
+        train_batched,
+    )
+
+    cfg = dataclasses.replace(KS22, stepper="etdrk4", fft_mode="native",
+                              spectral_carry=True, spectral_featurize=True)
+    setup = build_ks(cfg)
+    trainer = BatchedTrainer(setup.env, setup.agent,
+                             BatchedTrainerConfig(n_envs=4, batch_size=16,
+                                                  update_loops=1),
+                             random_init=ks_random_init(cfg))
+    ts, hook, means = train_batched(trainer, total_steps=120, chunk_len=60,
+                                    key=jax.random.PRNGKey(0))
+    assert np.isfinite(means).all()
+    assert hook.ep > 1  # 50-step episodes completed and auto-reset
+    r = trainer.eval_mean_reward(ts.agent.actor, n_steps=10)
+    assert np.isfinite(r)

@@ -233,3 +233,42 @@ def test_shipped_ppo_ref_protocol_artifact_stabilizes():
     pre = np.abs(y[200:300]).mean()
     post = np.abs(y[-60:]).mean()
     assert post < 0.1 * pre, (pre, post)
+
+
+def test_shipped_lh_selected_ppo_artifacts_stabilize():
+    """The r05 long-horizon-eval-selected PPO checkpoints (RESULTS.md
+    round-5 PPO rows): the ref-protocol artifact lands on the KS22
+    actuation-authority floor and the tuned-config artifact close behind;
+    both carry the eval-selection trail in their checkpoint meta."""
+    import os
+
+    import pytest
+
+    from distributedconvrl_pde_control_tpu.agents.ppo import ppo_policy
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    setup = build_ks(KS22)
+    for name, pcfg in [
+        ("KS22_ppo_ref_lh", PPOConfig(ns=setup.agent.cfg.ns, na=1)),
+        ("KS22_ppo_lh", PPOConfig(ns=setup.agent.cfg.ns, na=1, rollout_len=50,
+                                  n_microbatches=16, n_epochs=4,
+                                  learning_rate=3e-4)),
+    ]:
+        art = os.path.join(root, "artifacts", name)
+        if not os.path.exists(os.path.join(art, "saves", "ppo.msgpack")):
+            pytest.skip("artifact not present")
+        agent = PPOAgent(pcfg)
+        pstate, info = checkpoint.load_ppo(
+            art, agent.init_state(jax.random.PRNGKey(0)))
+        assert info["selection"] == "eval", name
+        assert len(info["evals"]) >= 10, name
+        assert info["best_reward"] == max(r for _, r in info["evals"]), name
+        policy = ppo_policy(agent,
+                            info.get("best_params") or agent._params(pstate))
+        traces = rollout(setup.env, policy, te=60.0, t_action=30.0)
+        y = traces["y"]
+        pre = np.abs(y[200:300]).mean()
+        post = np.abs(y[-60:]).mean()
+        assert post < 0.05 * pre, (name, pre, post)
