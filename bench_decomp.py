@@ -63,6 +63,17 @@ timed("spectral carry            ", BatchedTrainer(
     BatchedTrainerConfig(n_envs=N, batch_size=4096, update_loops=1),
     random_init=ks_random_init(KS22)), learn=True)
 
+# spectral featurize (r05 candidate lever): featurize/reward/guard consume
+# the carry via exact Parseval contractions — the LAST full-tier synthesis
+# transform per env step vanishes too (configs/ks.py spectral_featurize)
+sf_setup = build_ks(dataclasses.replace(
+    KS22, fft_mode="matmul_hi", stepper="etdrk4", nl_fft_mode="matmul_fast",
+    spectral_carry=True, spectral_featurize=True))
+timed("spectral carry+featurize  ", BatchedTrainer(
+    sf_setup.env, sf_setup.agent,
+    BatchedTrainerConfig(n_envs=N, batch_size=4096, update_loops=1),
+    random_init=ks_random_init(KS22)), learn=True)
+
 # solver+policy only: time a bare scan of env steps with a fixed actor
 import numpy as np
 from distributedconvrl_pde_control_tpu.agents.ddpg import DDPGAgent

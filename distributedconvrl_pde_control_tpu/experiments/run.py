@@ -790,7 +790,21 @@ def main(argv=None):
                 eval_steps=args.eval_steps, chunk_len=args.chunk_len or 50,
                 y0_pool=pool, mesh=pop_mesh)
             with open(os.path.join(out_dir, "search.json"), "w") as f:
-                json.dump({"best": best, "trials": trials}, f, indent=1)
+                json.dump({"best": best, "trials": trials,
+                           "seed_discipline_note": (
+                               "trials within one fused round share per-step "
+                               "key draws across the member axis "
+                               "(train/population.py ARCHITECTURE note), so "
+                               "a trial's score can depend on which "
+                               "round-mates it was batched with in a way "
+                               "serial trials don't; winners should be "
+                               "independently re-validated (the KS22 winner "
+                               "was, at 0.24% — RESULTS.md)"),
+                           "search_space_note": (
+                               "SCHEDULE_SPACE covers per-member state axes "
+                               "only (act_noise/decay/lrs); structural axes "
+                               "(network scale, batch size) stay with the "
+                               "serial --hyperopt search")}, f, indent=1)
             if best_state is not None:
                 ts_std = TrainState(
                     agent=best_state,
