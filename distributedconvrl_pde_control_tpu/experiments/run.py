@@ -123,7 +123,7 @@ def build_setup(name: str, config_overrides=None):
                        "Fluid_8_fast", "Fluid_16_fast", "Fluid_32_fast",
                        "Fluid_8_256_fast", "Fluid_8_fixedstep",
                        "Fluid_8_tp", "Fluid_16_tp", "Fluid_32_tp",
-                       "Fluid_8_256_tp",
+                       "Fluid_8_256_tp", "Fluid_16_256_tp",
                        "Fluid_8_eval", "Fluid_16_eval", "Fluid_32_eval"]:
         builders[fluid_name] = (C.build_fluid,
                                 lambda n=fluid_name: fluid_config_for(n))

@@ -187,6 +187,20 @@ def main():
                       "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
                       "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
 
+    # --- r05 Keller-Segel record: the fused schedule search's winning
+    # schedule, validated by an 8-member population (RESULTS.md r05 table:
+    # member_00 at 0.006-0.014 on every unseen init — ~2x the r04 record;
+    # 6/8 members <0.1, the 2 failures diagnosed as OOD-specific)
+    _, ks_actor_s = load_actor(
+        lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16_FAST),
+        "artifacts/KellerSegel_popsearch_pop8/member_00")
+    traces = rollout(ks_setup.env, actor_policy(ks_setup.agent, ks_actor_s),
+                     y0=y0, te=12.0, t_action=4.0)
+    dev = np.abs(np.asarray(traces["y"])[:, 0] - 1.0)
+    print(json.dumps({"row": "KellerSegel_popsearch_pop8 member 0 regulation",
+                      "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
+                      "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
+
     # --- Keller-Segel PPO artifact (RESULTS.md PPO table: ~45% deviation
     # suppression on unseen seeds — between the original and fast DDPG rows)
     from distributedconvrl_pde_control_tpu.agents.ppo import (

@@ -111,3 +111,42 @@ def test_fast_oversampling_stable_under_saturated_actions():
         y = solver.step(y, jnp.asarray(cfg.agent_power * (a @ amat)), cfg.dt,
                         cfg.oversampling)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_shipped_popsearch_record_artifact():
+    """The r05 recommended Keller-Segel controller
+    (artifacts/KellerSegel_popsearch_pop8/member_00 — the fused schedule
+    search's winning schedule, validated on the 4-unseen-init protocol at
+    post |u-1| 0.006-0.014, RESULTS.md r05 table) regenerates its record
+    regulation on an unseen init."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16_FAST,
+        build_keller_segel,
+    )
+    from distributedconvrl_pde_control_tpu.train import checkpoint
+    from distributedconvrl_pde_control_tpu.train.eval import (
+        actor_policy,
+        rollout,
+    )
+    from distributedconvrl_pde_control_tpu.train.loop import init_train_state
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "KellerSegel_popsearch_pop8", "member_00")
+    if not os.path.exists(art):
+        pytest.skip("artifact not present")
+    setup = build_keller_segel(KELLER_SEGEL_10_16_FAST)
+    tmpl = init_train_state(setup.env, setup.agent, jax.random.PRNGKey(0))
+    ts, hook = checkpoint.load(art, tmpl)
+    actor = hook.best_actor if hook.best_actor is not None else ts.agent.actor
+    pol = actor_policy(setup.agent, jax.tree.map(jnp.asarray, actor))
+    y0 = setup.random_init(jax.random.PRNGKey(8))
+    tr = rollout(setup.env, pol, y0=y0, te=12.0, t_action=4.0)
+    dev = np.abs(np.asarray(tr["y"])[:, 0] - 1.0)
+    post = dev[-len(dev) // 10:].mean()
+    assert post < 0.03, post  # measured 0.0064; uncontrolled holds ~0.50
