@@ -321,7 +321,8 @@ def run_dp_batched(args):
         noise_decay_every=args.noise_every or max(1, args.total_steps // setup.loops),
         noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
         chunk_len=args.chunk_len or 50,
-        verbose=True, eval_every=args.eval_every, eval_steps=args.eval_steps)
+        verbose=True, eval_every=args.eval_every, eval_steps=args.eval_steps,
+        eval_warmup_steps=args.eval_warmup)
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
     acfg = setup.agent.cfg
@@ -506,6 +507,15 @@ def main(argv=None):
                          "--mesh training (fused steps) and --ppo training "
                          "(iterations); evals drive best-actor/params "
                          "selection")
+    ap.add_argument("--eval-warmup", type=int, default=0, metavar="K",
+                    help="--batched/--population/--pop-search: evolve the "
+                         "eval IC batch UNCONTROLLED for K steps before the "
+                         "actor engages, scoring only the controlled "
+                         "segment — the OOD/delayed-actuation selection "
+                         "protocol (plot_heat actuates at te/2 on a "
+                         "developed state; the warmup-0 eval measured "
+                         "robust-looking Keller-Segel members that fail "
+                         "exactly there, RESULTS.md r05 KS-S table)")
     ap.add_argument("--noise-every", type=int, default=None,
                     help="--batched noise-decay cadence in steps "
                          "(default total_steps/loops)")
@@ -748,6 +758,15 @@ def main(argv=None):
         if setup.random_init is not None:
             keys = jax.random.split(jax.random.PRNGKey(setup.seed), 32)
             pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+        # --eval-warmup = the full OOD selection protocol: delayed actuation
+        # AND held-out generator ICs (a disjoint key stream), so the
+        # selection metric never scores on training-seen fields
+        eval_pool = None
+        if args.eval_warmup and setup.random_init is not None:
+            ekeys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(setup.seed), 7777), 32)
+            eval_pool = jnp.stack(
+                [jnp.asarray(setup.random_init(k)) for k in ekeys])
         pop_mesh = None
         if args.mesh and (args.population or args.pop_search):
             from distributedconvrl_pde_control_tpu.parallel.batched_dp import (
@@ -787,8 +806,10 @@ def main(argv=None):
                 seed=args.seed if args.seed is not None else setup.seed,
                 noise_decay_every=args.noise_every or 0,
                 eval_every=args.eval_every or 50,
-                eval_steps=args.eval_steps, chunk_len=args.chunk_len or 50,
-                y0_pool=pool, mesh=pop_mesh)
+                eval_steps=args.eval_steps,
+                eval_warmup_steps=args.eval_warmup,
+                chunk_len=args.chunk_len or 50,
+                y0_pool=pool, eval_y0_pool=eval_pool, mesh=pop_mesh)
             with open(os.path.join(out_dir, "search.json"), "w") as f:
                 json.dump({"best": best, "trials": trials,
                            "seed_discipline_note": (
@@ -849,7 +870,7 @@ def main(argv=None):
                                      batch_size=args.learner_batch or 256,
                                      update_loops=args.update_loops,
                                      min_best_episode=setup.min_best_episode),
-                P, y0_pool=pool,
+                P, y0_pool=pool, eval_y0_pool=eval_pool,
                 lr_actor=pov.get("learning_rate"),
                 lr_critic=pov.get("learning_rate_critic"), mesh=pop_mesh)
             nd = pov.get("noise_decay",
@@ -863,7 +884,8 @@ def main(argv=None):
                     1, args.total_steps // setup.loops),
                 noise_decay=nd,
                 chunk_len=args.chunk_len or 50, verbose=True,
-                eval_every=args.eval_every, eval_steps=args.eval_steps)
+                eval_every=args.eval_every, eval_steps=args.eval_steps,
+                eval_warmup_steps=args.eval_warmup)
             summary = save_population(out_dir, pop, ts, hooks,
                                       overrides=overrides)
             for row in summary["ranking"]:
@@ -878,7 +900,7 @@ def main(argv=None):
                                  batch_size=args.learner_batch or 256,
                                  update_loops=args.update_loops,
                                  min_best_episode=setup.min_best_episode),
-            y0_pool=pool,
+            y0_pool=pool, eval_y0_pool=eval_pool,
         )
         warm = None
         if args.import_jld2:
@@ -896,7 +918,8 @@ def main(argv=None):
             noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
             chunk_len=args.chunk_len or 50,
             verbose=True, eval_every=args.eval_every,
-            eval_steps=args.eval_steps, warm_start=warm)
+            eval_steps=args.eval_steps, eval_warmup_steps=args.eval_warmup,
+            warm_start=warm)
         acfg = setup.agent.cfg
         ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
                             replay=replay_init(1, acfg.ns, acfg.na_rows),

@@ -82,7 +82,7 @@ class DPBatchedTrainer:
 
     def __init__(self, env: PDEEnv, agent: DDPGAgent, cfg: BatchedTrainerConfig,
                  mesh: Mesh, random_init: Optional[Callable] = None,
-                 y0_pool=None):
+                 y0_pool=None, eval_y0_pool=None):
         if "dp" not in mesh.axis_names:
             raise ValueError(f"mesh needs a 'dp' axis, got {mesh.axis_names}")
         for ax in mesh.axis_names:
@@ -99,7 +99,8 @@ class DPBatchedTrainer:
         # the local env count
         self.local = BatchedTrainer(
             env, agent, dataclasses.replace(cfg, n_envs=cfg.n_envs // self.n_dp),
-            random_init=random_init, y0_pool=y0_pool)
+            random_init=random_init, y0_pool=y0_pool,
+            eval_y0_pool=eval_y0_pool)
         acfg = agent.cfg
         # per-device replay ring: contiguous-push rounding at the LOCAL
         # push width (same rule as BatchedTrainer.init / ShardedTrainConfig)
@@ -179,7 +180,9 @@ class DPBatchedTrainer:
         return jax.jit(sharded, donate_argnums=0)
 
     # ------------------------------------------------------------------ eval
-    def eval_mean_reward(self, actor_params, n_steps: int, key=None) -> float:
+    def eval_mean_reward(self, actor_params, n_steps: int, key=None,
+                         warmup_steps: int = 0) -> float:
         """Deterministic eval on the LOCAL env batch (params are replicated,
         so one device's worth of eval envs is representative and cheap)."""
-        return self.local.eval_mean_reward(actor_params, n_steps, key)
+        return self.local.eval_mean_reward(actor_params, n_steps, key,
+                                           warmup_steps=warmup_steps)

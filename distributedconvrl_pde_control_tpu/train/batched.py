@@ -84,19 +84,26 @@ class BatchedTrainer:
     """vmap-over-envs DDPG trainer with in-graph episode auto-reset."""
 
     def __init__(self, env: PDEEnv, agent: DDPGAgent, cfg: BatchedTrainerConfig,
-                 random_init: Optional[Callable] = None, y0_pool=None):
+                 random_init: Optional[Callable] = None, y0_pool=None,
+                 eval_y0_pool=None):
         """`random_init` must be jit-traceable (it runs inside the fused
         scan). For host-only initial-condition generators (the fluid
         random-vortex IC, FluidSetup.jl:386-394) pass `y0_pool` instead: a
         precomputed (P, ...) array of initial fields sampled uniformly at
-        every auto-reset."""
+        every auto-reset. `eval_y0_pool`: optional HELD-OUT ICs for the
+        deterministic evals — with a training `y0_pool` the eval would
+        otherwise score on training-seen fields, which is the blind spot
+        the OOD selection protocol closes (eval_mean_reward docstring)."""
         self.env = env
         self.agent = agent
         self.cfg = cfg
         self.random_init = random_init
         self.y0_pool = None if y0_pool is None else jnp.asarray(y0_pool)
+        self.eval_y0_pool = (None if eval_y0_pool is None
+                             else jnp.asarray(eval_y0_pool))
         self._reset1, self._step1 = self._episode_fns(env)
-        self._eval_fns = {}  # n_steps -> jitted eval program (reuse per call)
+        # (n_steps, warmup_steps) -> jitted eval program (reuse per call)
+        self._eval_fns = {}
 
     def _episode_fns(self, env: PDEEnv):
         """(reset1, step1) for `env`, honoring the flat-carry layout knobs.
@@ -167,6 +174,15 @@ class BatchedTrainer:
             return jax.vmap(self.random_init)(jax.random.split(key, n))
         y0 = jnp.asarray(self.env.y0)
         return jnp.broadcast_to(y0, (n,) + y0.shape)
+
+    def _fresh_eval_y0s(self, key, n):
+        """Eval ICs: the held-out `eval_y0_pool` when provided, else the
+        training IC source (for jit-traceable generators the eval keys are
+        already disjoint from the training reset key chain)."""
+        if self.eval_y0_pool is not None:
+            idx = jax.random.randint(key, (n,), 0, self.eval_y0_pool.shape[0])
+            return self.eval_y0_pool[idx]
+        return self._fresh_y0s(key, n)
 
     def _fresh_states(self, key, n):
         """Fresh reset EnvStates for auto-reset. With a y0 pool the reset
@@ -386,7 +402,8 @@ class BatchedTrainer:
         return chunk
 
     # ------------------------------------------------------------------ eval
-    def eval_mean_reward(self, actor_params, n_steps: int, key=None) -> float:
+    def eval_mean_reward(self, actor_params, n_steps: int, key=None,
+                         warmup_steps: int = 0) -> float:
         """Deterministic-policy evaluation over one vmapped episode batch
         (no noise, no learning): mean per-step reward over active steps.
 
@@ -403,26 +420,37 @@ class BatchedTrainer:
         behavior. (Round-3 verdict Missing #2: `--eval-steps 500` used to
         reproduce the 50-step numbers bit-for-bit because episodes
         hard-terminate at te and the eval masks post-done steps.)
+
+        `warmup_steps > 0` = the OOD / delayed-actuation protocol: the IC
+        batch first evolves UNCONTROLLED (zero actions) for that many steps,
+        then the actor engages and only the controlled segment is scored —
+        the plot_heat/eval_kss_pop "actuate on a developed state" metric.
+        The in-distribution eval (warmup 0) measured two Keller-Segel
+        members at robust-level rewards that blow past uncontrolled under
+        exactly this protocol (RESULTS.md r05 KS-S table: the failure mode
+        is invisible to actuate-from-0 scoring), so OOD member selection
+        needs the warmup in the SELECTION metric, not just post-hoc.
         """
         env, agent = self.env, self.agent
         acfg = agent.cfg
         B = self.cfg.n_envs
         key = key if key is not None else jax.random.PRNGKey(0)
-        run = self._eval_fns.get(n_steps)
+        cache_key = (n_steps, warmup_steps)
+        run = self._eval_fns.get(cache_key)
         if run is None:
-            run = self._make_eval_fn(n_steps)
-            self._eval_fns[n_steps] = run
-        rs, actives = run(actor_params, self._fresh_y0s(key, B))
+            run = self._make_eval_fn(n_steps, warmup_steps)
+            self._eval_fns[cache_key] = run
+        rs, actives = run(actor_params, self._fresh_eval_y0s(key, B))
         import numpy as np
 
         rs, actives = np.asarray(rs), np.asarray(actives)
         return float(rs[actives].mean()) if actives.any() else float("nan")
 
-    def _make_eval_fn(self, n_steps: int):
+    def _make_eval_fn(self, n_steps: int, warmup_steps: int = 0):
         env, agent = self.env, self.agent
         acfg = agent.cfg
         B = self.cfg.n_envs
-        needed_te = env.t0 + n_steps * env.dt
+        needed_te = env.t0 + (n_steps + warmup_steps) * env.dt
         if needed_te > env.te:
             eval_env = dataclasses.replace(env, te=float(needed_te) + env.dt)
             reset1, step1 = self._episode_fns(eval_env)
@@ -432,6 +460,26 @@ class BatchedTrainer:
         @jax.jit
         def run(actor, y0s):
             estates = jax.vmap(reset1)(y0s)
+
+            if warmup_steps:
+                # uncontrolled development phase: zero actions (forcing = 0,
+                # same as the rollout(t_action=...) pre-actuation segment),
+                # blow-up masking identical to the scored phase
+                zeros = self._actions_env(
+                    jnp.zeros((acfg.na_rows, B * acfg.n_actuators)), B)
+
+                def wbody(carry, _):
+                    estates = carry
+                    active = jnp.logical_not(estates.done)
+                    new_estates = jax.vmap(step1)(estates, zeros)
+                    estates = jax.tree.map(
+                        lambda n, o: jnp.where(
+                            active.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+                        new_estates, estates)
+                    return estates, None
+
+                estates, _ = jax.lax.scan(wbody, estates, None,
+                                          length=warmup_steps)
 
             def body(carry, _):
                 estates = carry
@@ -463,6 +511,7 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
                   noise_decay_every: int = 0, noise_decay: float = 0.5,
                   chunk_len: int = 50, verbose: bool = False, hook=None,
                   eval_every: int = 0, eval_steps: int = 50,
+                  eval_warmup_steps: int = 0,
                   warm_start: Optional[dict] = None, pipeline_depth: int = 4,
                   sparse_records: Optional[bool] = None):
     """Throughput-mode training driver: run `total_steps` fused steps in
@@ -531,7 +580,8 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
         # never ship something worse than the imported policy (the round-3
         # import-fine-tune ledger entry: fine-tuning degraded the
         # long-horizon metric while the transient eval improved)
-        r0 = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
+        r0 = trainer.eval_mean_reward(ts.agent.actor, eval_steps,
+                                      warmup_steps=eval_warmup_steps)
         hook.evals.append((0, r0))
         best_eval = (r0, 0, 0, jax.tree.map(_np.asarray, ts.agent.actor))
     # Software pipeline: dispatch chunks n+1..n+depth BEFORE reading chunk
@@ -564,7 +614,8 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
             ts = ts.replace(agent=ts.agent.replace(act_noise=ts.agent.act_noise * noise_decay))
             next_decay += noise_decay_every
         if next_eval is not None and steps_done >= next_eval:
-            r_eval = trainer.eval_mean_reward(ts.agent.actor, eval_steps)
+            r_eval = trainer.eval_mean_reward(ts.agent.actor, eval_steps,
+                                              warmup_steps=eval_warmup_steps)
             hook.evals.append((steps_done, r_eval))
             if best_eval is None or r_eval > best_eval[0]:
                 # the eval already synchronized the host, so reading the

@@ -287,7 +287,7 @@ class PopulationTrainer:
 
     def __init__(self, env, agent: DDPGAgent, cfg: BatchedTrainerConfig,
                  n_members: int, random_init=None, y0_pool=None,
-                 lr_actor=None, lr_critic=None, mesh=None):
+                 eval_y0_pool=None, lr_actor=None, lr_critic=None, mesh=None):
         self.n_members = int(n_members)
         self.mesh = mesh
         self.n_dp = 1 if mesh is None else mesh.shape["dp"]
@@ -304,7 +304,8 @@ class PopulationTrainer:
         flat_cfg = dataclasses.replace(cfg, n_envs=self.n_members * cfg.n_envs)
         if mesh is None:
             self.base = BatchedTrainer(env, self.agent, flat_cfg,
-                                       random_init=random_init, y0_pool=y0_pool)
+                                       random_init=random_init, y0_pool=y0_pool,
+                                       eval_y0_pool=eval_y0_pool)
         else:
             from distributedconvrl_pde_control_tpu.parallel.batched_dp import (
                 DPBatchedTrainer,
@@ -312,7 +313,8 @@ class PopulationTrainer:
 
             self.base = DPBatchedTrainer(env, self.agent, flat_cfg, mesh,
                                          random_init=random_init,
-                                         y0_pool=y0_pool)
+                                         y0_pool=y0_pool,
+                                         eval_y0_pool=eval_y0_pool)
         self._eval_fns = {}
 
     @property
@@ -332,21 +334,28 @@ class PopulationTrainer:
         return self.base.make_chunk_fn(n_steps, learn)
 
     # ------------------------------------------------------------------ eval
-    def eval_mean_rewards(self, actors, n_steps: int, key=None) -> np.ndarray:
+    def eval_mean_rewards(self, actors, n_steps: int, key=None,
+                          warmup_steps: int = 0) -> np.ndarray:
         """Deterministic per-member evaluation: every member's actor rolls
         the SAME freshly-drawn initial-condition batch (tiled member-major —
         fair comparison), long-horizon semantics inherited from
         BatchedTrainer._make_eval_fn (te-overridden env clone past the
         episode cap). Returns (P,) mean per-step rewards over active steps.
         On a dp mesh the eval runs one device's LOCAL env batch (params are
-        replicated; n_envs/n_dp ICs per member)."""
+        replicated; n_envs/n_dp ICs per member).
+
+        `warmup_steps > 0` = the OOD selection protocol (delayed actuation
+        on developed states, batched.py eval_mean_reward docstring) — built
+        because the Keller-Segel study measured 2/8 members whose OOD
+        failure is INVISIBLE to the warmup-0 eval (RESULTS.md r05 table)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         B = self.n_envs_member_local
-        run = self._eval_fns.get(n_steps)
+        cache_key = (n_steps, warmup_steps)
+        run = self._eval_fns.get(cache_key)
         if run is None:
-            run = self._local._make_eval_fn(n_steps)
-            self._eval_fns[n_steps] = run
-        y0s = self._local._fresh_y0s(key, B)
+            run = self._local._make_eval_fn(n_steps, warmup_steps)
+            self._eval_fns[cache_key] = run
+        y0s = self._local._fresh_eval_y0s(key, B)
         y0s_flat = jnp.concatenate([y0s] * self.n_members, axis=0)
         rs, actives = run(actors, y0s_flat)
         rs, actives = np.asarray(rs), np.asarray(actives)
@@ -379,7 +388,8 @@ def train_population(trainer: PopulationTrainer, total_steps: int, key=None,
                      act_noise=None, noise_decay_every: int = 0,
                      noise_decay=0.5, chunk_len: int = 50,
                      verbose: bool = False, eval_every: int = 0,
-                     eval_steps: int = 50, pipeline_depth: int = 4):
+                     eval_steps: int = 50, eval_warmup_steps: int = 0,
+                     pipeline_depth: int = 4):
     """Chunked population training driver — train_batched semantics per
     member (same pipeline depth, same eval-driven best-actor selection),
     P members at once.
@@ -433,7 +443,8 @@ def train_population(trainer: PopulationTrainer, total_steps: int, key=None,
                 act_noise=ts.agent.act_noise * jnp.asarray(decay)))
             next_decay += noise_decay_every
         if next_eval is not None and steps_done >= next_eval:
-            rs = trainer.eval_mean_rewards(ts.agent.actor, eval_steps)
+            rs = trainer.eval_mean_rewards(ts.agent.actor, eval_steps,
+                                           warmup_steps=eval_warmup_steps)
             ep_count = int(ts.ep_count)
             for i in range(P):
                 hooks[i].evals.append((steps_done, float(rs[i])))
@@ -476,8 +487,9 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
                       total_steps: int, *, members_per_round: int = 8,
                       space=None, seed: int = 0, noise_decay_every: int = 0,
                       eval_every: int = 50, eval_steps: int = 500,
+                      eval_warmup_steps: int = 0,
                       chunk_len: int = 50, random_init=None, y0_pool=None,
-                      verbose: bool = True, mesh=None):
+                      eval_y0_pool=None, verbose: bool = True, mesh=None):
     """Schedule/optimizer hyperparameter search where every round of up to
     `members_per_round` trials trains as ONE fused population program, and
     trials are scored by their eval-driven best (default: the long-horizon
@@ -505,6 +517,7 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
         batch = params[done:done + P]
         trainer = PopulationTrainer(
             env, agent, cfg, P, random_init=random_init, y0_pool=y0_pool,
+            eval_y0_pool=eval_y0_pool,
             lr_actor=[p["learning_rate"] for p in batch],
             lr_critic=[p["learning_rate_critic"] for p in batch], mesh=mesh)
         ts, hooks, _ = train_population(
@@ -513,7 +526,8 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
             act_noise=[p["act_noise"] for p in batch],
             noise_decay_every=noise_decay_every or max(1, total_steps // 8),
             noise_decay=[p["noise_decay"] for p in batch],
-            chunk_len=chunk_len, eval_every=eval_every, eval_steps=eval_steps)
+            chunk_len=chunk_len, eval_every=eval_every, eval_steps=eval_steps,
+            eval_warmup_steps=eval_warmup_steps)
         for i, p in enumerate(batch):
             row = {"trial": done + i, "round": rnd,
                    "eval_reward": float(hooks[i].bestreward), **p}

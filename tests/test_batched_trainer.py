@@ -361,3 +361,68 @@ def test_feed_episode_records_vectorized_matches_loop():
     assert h.rewards_compare == rewards_compare
     assert h.errored_episodes == errored_eps
     assert h.ep == ep
+
+
+def test_eval_warmup_matches_delayed_actuation_rollout():
+    """OOD eval protocol (r05): eval_mean_reward(n, warmup_steps=K) must
+    equal the plot_heat-style delayed-actuation rollout (train/eval.rollout
+    with t_action — the INDEPENDENT single-env path eval_kss_pop.py scores
+    with): K uncontrolled development steps, then n actor steps, scoring
+    only the controlled segment."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from distributedconvrl_pde_control_tpu.train.eval import (
+        actor_policy,
+        rollout,
+    )
+
+    setup = build_ks(KS22)
+    env, agent = setup.env, setup.agent
+    y0 = np.asarray(ks_random_init(KS22)(jax.random.PRNGKey(3)))
+    trainer = BatchedTrainer(
+        env, agent,
+        BatchedTrainerConfig(n_envs=1, batch_size=8, update_loops=0),
+        y0_pool=jnp.asarray(y0)[None],  # one IC -> deterministic eval batch
+    )
+    actor = agent.init_state(jax.random.PRNGKey(5)).actor
+    K, n = 7, 12
+    r_eval = trainer.eval_mean_reward(actor, n, key=jax.random.PRNGKey(0),
+                                      warmup_steps=K)
+
+    pol = actor_policy(agent, actor, act_limit=agent.cfg.act_limit)
+    te = float(env.t0 + (n + K) * env.dt)
+    tr = rollout(env, pol, y0=y0, te=te,
+                 t_action=float(env.t0 + K * env.dt))
+    rs = np.asarray(tr["reward"]).mean(axis=-1)[K:]
+    act = np.asarray(tr["active"])[K:]
+    r_ref = float(rs[act].mean())
+    assert np.isfinite(r_eval) and abs(r_eval - r_ref) < 1e-5, (r_eval, r_ref)
+
+    # warmup actually changes what is scored (developed vs fresh state)
+    r0 = trainer.eval_mean_reward(actor, n, key=jax.random.PRNGKey(0))
+    assert abs(r0 - r_eval) > 1e-7, (r0, r_eval)
+
+
+def test_eval_y0_pool_is_held_out():
+    """With `eval_y0_pool` set, the deterministic eval scores on those ICs
+    (not the training pool): equal to a pool-swapped trainer, different
+    from the training-pool eval."""
+    import jax.numpy as jnp
+
+    setup = build_ks(KS22)
+    gen = ks_random_init(KS22)
+    train_pool = jnp.stack([gen(jax.random.PRNGKey(i)) for i in range(4)])
+    eval_pool = jnp.stack([gen(jax.random.PRNGKey(100 + i)) for i in range(4)])
+    cfg = BatchedTrainerConfig(n_envs=4, batch_size=8, update_loops=0)
+    actor = setup.agent.init_state(jax.random.PRNGKey(5)).actor
+
+    t_held = BatchedTrainer(setup.env, setup.agent, cfg, y0_pool=train_pool,
+                            eval_y0_pool=eval_pool)
+    t_swap = BatchedTrainer(setup.env, setup.agent, cfg, y0_pool=eval_pool)
+    t_train = BatchedTrainer(setup.env, setup.agent, cfg, y0_pool=train_pool)
+    k = jax.random.PRNGKey(2)
+    r_held = t_held.eval_mean_reward(actor, 10, key=k)
+    assert r_held == t_swap.eval_mean_reward(actor, 10, key=k)
+    assert r_held != t_train.eval_mean_reward(actor, 10, key=k)

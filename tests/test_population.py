@@ -345,3 +345,27 @@ def test_population_keller_segel_family():
     assert np.isfinite(means).all()
     for h in hooks:
         assert np.isfinite(h.bestreward)
+
+
+def test_population_eval_warmup_and_held_out_pool():
+    """OOD selection protocol (r05): per-member evals with warmup score the
+    controlled segment after K uncontrolled steps, on the HELD-OUT IC pool
+    when one is given — and must agree with the solo trainer's warmup eval
+    member-by-member (same actors, same eval ICs)."""
+    setup = build_ks(CFG)
+    eval_pool = jnp.stack([jnp.asarray(setup.random_init(k))
+                           for k in jax.random.split(jax.random.PRNGKey(7), 4)])
+    pop = _pop(n_members=2, eval_y0_pool=eval_pool)
+    ts = pop.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(3)
+    rs = pop.eval_mean_rewards(ts.agent.actor, 8, key=k, warmup_steps=5)
+    assert rs.shape == (2,) and np.isfinite(rs).all()
+    rs0 = pop.eval_mean_rewards(ts.agent.actor, 8, key=k)
+    assert (np.abs(rs - rs0) > 1e-7).all(), (rs, rs0)
+
+    solo = BatchedTrainer(setup.env, setup.agent, TCFG,
+                          y0_pool=_pool(setup), eval_y0_pool=eval_pool)
+    for i in range(2):
+        actor_i = jax.tree.map(lambda x: x[i], ts.agent.actor)
+        r_solo = solo.eval_mean_reward(actor_i, 8, key=k, warmup_steps=5)
+        assert abs(r_solo - rs[i]) < 1e-5, (i, r_solo, rs[i])
