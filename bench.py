@@ -84,12 +84,19 @@ def run_once():
     # forcing spectrum comes from pre-transformed actuator kernels, so 2 of
     # the 3 boundary transforms per env step vanish; strictly MORE accurate
     # — it removes the per-step rfft∘irfft round-trip — +7.6% measured,
-    # PERFORMANCE.md). This is the CLI `KS22_tp` tier. The fidelity presets
-    # keep CNAB2 at f32/HIGHEST with the real carry.
+    # PERFORMANCE.md) + spectral FEATURIZE (r05: featurize/reward/blow-up
+    # guard consume the carry via exact Parseval contractions, deleting the
+    # LAST full-tier synthesis transform; same-process A/B 36.15 -> 38.77M,
+    # +7.2%; gate: sf-tier-trained lh artifacts at 0.78%/0.24% on the
+    # standard env, RESULTS.md). This is the CLI `KS22_tp` tier plus the
+    # trainer-only sf knob (--config-overrides '{"spectral_featurize":
+    # true}'; eval/plot paths strip it to record real fields). The fidelity
+    # presets keep CNAB2 at f32/HIGHEST with the real carry.
     setup = build_ks(dataclasses.replace(KS22, fft_mode="matmul_hi",
                                          stepper="etdrk4",
                                          nl_fft_mode="matmul_fast",
-                                         spectral_carry=True))
+                                         spectral_carry=True,
+                                         spectral_featurize=True))
     trainer = BatchedTrainer(
         setup.env,
         setup.agent,

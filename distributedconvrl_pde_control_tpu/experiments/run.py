@@ -618,6 +618,14 @@ def main(argv=None):
         explicit = (json.loads(raw) if raw.lstrip().startswith("{")
                     else json.load(open(raw)))
         overrides = {**(overrides or {}), **explicit}
+    if overrides and overrides.get("spectral_featurize") and not args.train:
+        # trainer-only throughput knob: the sf tier consumes the carried
+        # spectrum for featurize/reward and leaves EnvState.y at the reset
+        # field BY DESIGN (configs/ks.py spectral_featurize), so eval/plot
+        # rollouts must rebuild WITHOUT it to record real fields — the
+        # policy itself is tier-independent (same observations either way)
+        overrides = {k: v for k, v in overrides.items()
+                     if k != "spectral_featurize"}
     setup = build_setup(args.preset, overrides)
     if overrides:
         print(f"applied config overrides: {sorted(overrides)}")
