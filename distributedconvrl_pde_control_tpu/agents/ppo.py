@@ -228,7 +228,8 @@ class PPOTrainer:
         return jnp.broadcast_to(y0, (self.n_envs,) + y0.shape)
 
     # ------------------------------------------------------------------ eval
-    def eval_mean_reward(self, params, n_steps: int, key=None) -> float:
+    def eval_mean_reward(self, params, n_steps: int, key=None,
+                         warmup_steps: int = 0) -> float:
         """Deterministic mean-policy evaluation over one vmapped episode
         batch: mean per-step reward over active steps. LONG-HORIZON
         SEMANTICS match BatchedTrainer.eval_mean_reward — past the training
@@ -236,32 +237,52 @@ class PPOTrainer:
         `n_steps=500` measures 500 REAL steps of stabilization (the
         reference's plot_heat quality metric, /root/reference/src/
         plotting.jl:4-169) instead of the te-capped transient. Blow-up
-        termination stays active and masks post-termination steps."""
+        termination stays active and masks post-termination steps.
+        `warmup_steps > 0` = the OOD/delayed-actuation selection protocol
+        (zero actions for the first K steps, only the controlled segment
+        scored — batched.py eval_mean_reward docstring)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         if not hasattr(self, "_eval_fns"):
             self._eval_fns = {}
-        run = self._eval_fns.get(n_steps)
+        cache_key = (n_steps, warmup_steps)
+        run = self._eval_fns.get(cache_key)
         if run is None:
-            run = self._make_eval_fn(n_steps)
-            self._eval_fns[n_steps] = run
+            run = self._make_eval_fn(n_steps, warmup_steps)
+            self._eval_fns[cache_key] = run
         import numpy as np
 
         rs, actives = run(params, self._y0s(key))
         rs, actives = np.asarray(rs), np.asarray(actives)
         return float(rs[actives].mean()) if actives.any() else float("nan")
 
-    def _make_eval_fn(self, n_steps: int):
+    def _make_eval_fn(self, n_steps: int, warmup_steps: int = 0):
         env, agent = self.env, self.agent
         cfg = agent.cfg
         n_act = env.action_shape[1]
         B = self.n_envs
-        needed_te = env.t0 + n_steps * env.dt
+        needed_te = env.t0 + (n_steps + warmup_steps) * env.dt
         eval_env = (dataclasses.replace(env, te=float(needed_te) + env.dt)
                     if needed_te > env.te else env)
 
         @jax.jit
         def run(params, y0s):
             estates = jax.vmap(eval_env.reset)(y0s)
+
+            if warmup_steps:
+                zeros = jnp.zeros((B,) + env.action_shape)
+
+                def wbody(carry, _):
+                    estates = carry
+                    active = jnp.logical_not(estates.done)
+                    new_estates = jax.vmap(eval_env.step)(estates, zeros)
+                    estates = jax.tree.map(
+                        lambda n, o: jnp.where(
+                            active.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+                        new_estates, estates)
+                    return estates, None
+
+                estates, _ = jax.lax.scan(wbody, estates, None,
+                                          length=warmup_steps)
 
             def body(carry, _):
                 estates = carry
@@ -353,7 +374,8 @@ def ppo_policy(agent: PPOAgent, pstate_or_params, deterministic: bool = True):
 
 
 def train_ppo(trainer: PPOTrainer, iters: int, key=None, verbose: bool = True,
-              eval_every: int = 0, eval_steps: int = 50):
+              eval_every: int = 0, eval_steps: int = 50,
+              eval_warmup_steps: int = 0):
     """PPO training driver: `iters` collect+update iterations with host-side
     reward accounting and best-params snapshotting (the PPO analogue of the
     PDEhook best-actor tracking; the reference ships create_agent_ppo with
@@ -390,7 +412,8 @@ def train_ppo(trainer: PPOTrainer, iters: int, key=None, verbose: bool = True,
         if eval_every:
             if (i + 1) % eval_every == 0 or i + 1 == iters:
                 r_eval = trainer.eval_mean_reward(agent._params(pstate),
-                                                  eval_steps)
+                                                  eval_steps,
+                                                  warmup_steps=eval_warmup_steps)
                 evals.append((i + 1, r_eval))
                 if r_eval > best["reward"]:
                     best.update(reward=r_eval, iter=i + 1,

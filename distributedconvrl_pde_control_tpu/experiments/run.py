@@ -675,7 +675,8 @@ def main(argv=None):
             pstate, info = train_ppo(
                 trainer, iters=args.iters,
                 key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),
-                eval_every=args.eval_every, eval_steps=args.eval_steps)
+                eval_every=args.eval_every, eval_steps=args.eval_steps,
+                eval_warmup_steps=args.eval_warmup)
             checkpoint.save_ppo(out_dir, pstate, info)
             if overrides:
                 checkpoint.save_config_overrides(out_dir, overrides)

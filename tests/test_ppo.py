@@ -109,7 +109,7 @@ def test_ppo_long_horizon_eval_selection(tmp_path):
     # 200 > the 160-step KS22 episode cap: the te-overridden clone keeps
     # every step REAL (without the override the post-cap steps would all
     # be masked inactive and the eval would reproduce the transient)
-    run = trainer._eval_fns[200]
+    run = trainer._eval_fns[(200, 0)]
     rs, actives = run(agent._params(pstate),
                       trainer._y0s(jax.random.PRNGKey(0)))
     actives = np.asarray(actives)
@@ -272,3 +272,32 @@ def test_shipped_lh_selected_ppo_artifacts_stabilize():
         pre = np.abs(y[200:300]).mean()
         post = np.abs(y[-60:]).mean()
         assert post < 0.05 * pre, (name, pre, post)
+
+def test_ppo_eval_warmup_matches_delayed_actuation_rollout():
+    """PPO's OOD eval (r05): warmup_steps=K must equal the independent
+    delayed-actuation rollout path (train/eval.rollout with t_action) —
+    mean-policy actions, K uncontrolled steps, controlled segment scored."""
+    from distributedconvrl_pde_control_tpu.train.eval import rollout
+
+    setup = build_ks(KS22)
+    env = setup.env
+    cfg = PPOConfig(ns=setup.agent.cfg.ns, na=1)
+    agent = PPOAgent(cfg)
+    y0 = np.asarray(ks_random_init(KS22)(jax.random.PRNGKey(3)))
+    trainer = PPOTrainer(env, agent, n_envs=1,
+                         y0_pool=jnp.asarray(y0)[None])
+    params = agent._params(agent.init_state(jax.random.PRNGKey(5)))
+    K, n = 6, 11
+    r_eval = trainer.eval_mean_reward(params, n, key=jax.random.PRNGKey(0),
+                                      warmup_steps=K)
+
+    def pol(obs, key):
+        mu, _ = agent.dist(params, obs)
+        return jnp.clip(mu, -cfg.act_limit, cfg.act_limit)
+
+    tr = rollout(env, pol, y0=y0, te=float(env.t0 + (n + K) * env.dt),
+                 t_action=float(env.t0 + K * env.dt))
+    rs = np.asarray(tr["reward"]).mean(axis=-1)[K:]
+    act = np.asarray(tr["active"])[K:]
+    r_ref = float(rs[act].mean())
+    assert np.isfinite(r_eval) and abs(r_eval - r_ref) < 1e-5, (r_eval, r_ref)
