@@ -322,7 +322,7 @@ def run_dp_batched(args):
         noise_decay=args.noise_decay if args.noise_decay is not None else setup.noise_decay,
         chunk_len=args.chunk_len or 50,
         verbose=True, eval_every=args.eval_every, eval_steps=args.eval_steps,
-        eval_warmup_steps=args.eval_warmup)
+        eval_warmup_steps=args.eval_warmup, eval_score=args.eval_score)
     out_dir = args.out or os.path.join("runs", args.preset)
     os.makedirs(out_dir, exist_ok=True)
     acfg = setup.agent.cfg
@@ -516,6 +516,14 @@ def main(argv=None):
                          "developed state; the warmup-0 eval measured "
                          "robust-looking Keller-Segel members that fail "
                          "exactly there, RESULTS.md r05 KS-S table)")
+    ap.add_argument("--eval-score", choices=["mean", "min"], default="mean",
+                    help="--batched/--population/--pop-search eval reduction: "
+                         "'mean' = pooled mean step reward; 'min' = WORST-CASE "
+                         "(min over per-env masked means) — selects for "
+                         "robustness across eval ICs; built after measuring "
+                         "that mean scoring dilutes a 1-in-32-IC catastrophic "
+                         "failure to invisibility (RESULTS.md r05 KS-S "
+                         "OOD-selection A/B)")
     ap.add_argument("--noise-every", type=int, default=None,
                     help="--batched noise-decay cadence in steps "
                          "(default total_steps/loops)")
@@ -817,6 +825,7 @@ def main(argv=None):
                 eval_every=args.eval_every or 50,
                 eval_steps=args.eval_steps,
                 eval_warmup_steps=args.eval_warmup,
+                eval_score=args.eval_score,
                 chunk_len=args.chunk_len or 50,
                 y0_pool=pool, eval_y0_pool=eval_pool, mesh=pop_mesh)
             with open(os.path.join(out_dir, "search.json"), "w") as f:
@@ -894,7 +903,8 @@ def main(argv=None):
                 noise_decay=nd,
                 chunk_len=args.chunk_len or 50, verbose=True,
                 eval_every=args.eval_every, eval_steps=args.eval_steps,
-                eval_warmup_steps=args.eval_warmup)
+                eval_warmup_steps=args.eval_warmup,
+                eval_score=args.eval_score)
             summary = save_population(out_dir, pop, ts, hooks,
                                       overrides=overrides)
             for row in summary["ranking"]:
@@ -928,7 +938,7 @@ def main(argv=None):
             chunk_len=args.chunk_len or 50,
             verbose=True, eval_every=args.eval_every,
             eval_steps=args.eval_steps, eval_warmup_steps=args.eval_warmup,
-            warm_start=warm)
+            eval_score=args.eval_score, warm_start=warm)
         acfg = setup.agent.cfg
         ts_std = TrainState(agent=jax.tree.map(np.asarray, ts.agent),
                             replay=replay_init(1, acfg.ns, acfg.na_rows),

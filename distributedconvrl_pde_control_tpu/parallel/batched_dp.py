@@ -181,8 +181,9 @@ class DPBatchedTrainer:
 
     # ------------------------------------------------------------------ eval
     def eval_mean_reward(self, actor_params, n_steps: int, key=None,
-                         warmup_steps: int = 0) -> float:
+                         warmup_steps: int = 0, score: str = "mean") -> float:
         """Deterministic eval on the LOCAL env batch (params are replicated,
         so one device's worth of eval envs is representative and cheap)."""
         return self.local.eval_mean_reward(actor_params, n_steps, key,
-                                           warmup_steps=warmup_steps)
+                                           warmup_steps=warmup_steps,
+                                           score=score)

@@ -402,8 +402,18 @@ class BatchedTrainer:
         return chunk
 
     # ------------------------------------------------------------------ eval
+    @staticmethod
+    def _env_scores(rs, actives):
+        """Per-env masked mean step reward: (n_steps, B) traces -> (B,)
+        scores, NaN for envs with zero active steps."""
+        import numpy as np
+
+        n = actives.sum(axis=0)
+        tot = (rs * actives).sum(axis=0)
+        return np.where(n > 0, tot / np.maximum(n, 1), np.nan)
+
     def eval_mean_reward(self, actor_params, n_steps: int, key=None,
-                         warmup_steps: int = 0) -> float:
+                         warmup_steps: int = 0, score: str = "mean") -> float:
         """Deterministic-policy evaluation over one vmapped episode batch
         (no noise, no learning): mean per-step reward over active steps.
 
@@ -430,6 +440,13 @@ class BatchedTrainer:
         exactly this protocol (RESULTS.md r05 KS-S table: the failure mode
         is invisible to actuate-from-0 scoring), so OOD member selection
         needs the warmup in the SELECTION metric, not just post-hoc.
+
+        `score="min"` = WORST-CASE scoring: per-env masked mean rewards,
+        reduced by min instead of the batch mean. Built after measuring
+        that mean-scoring dilutes init-specific failures to invisibility
+        (KS-S: 1 catastrophic IC in a 32-IC held-out pool moved the mean
+        eval of a snapshot that blows past uncontrolled on it by ~nothing
+        — RESULTS.md r05 OOD-selection A/B + diagnosis).
         """
         env, agent = self.env, self.agent
         acfg = agent.cfg
@@ -444,6 +461,10 @@ class BatchedTrainer:
         import numpy as np
 
         rs, actives = np.asarray(rs), np.asarray(actives)
+        if score == "min":
+            per_env = self._env_scores(rs, actives)
+            return (float(np.nanmin(per_env))
+                    if np.isfinite(per_env).any() else float("nan"))
         return float(rs[actives].mean()) if actives.any() else float("nan")
 
     def _make_eval_fn(self, n_steps: int, warmup_steps: int = 0):
@@ -511,7 +532,7 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
                   noise_decay_every: int = 0, noise_decay: float = 0.5,
                   chunk_len: int = 50, verbose: bool = False, hook=None,
                   eval_every: int = 0, eval_steps: int = 50,
-                  eval_warmup_steps: int = 0,
+                  eval_warmup_steps: int = 0, eval_score: str = "mean",
                   warm_start: Optional[dict] = None, pipeline_depth: int = 4,
                   sparse_records: Optional[bool] = None):
     """Throughput-mode training driver: run `total_steps` fused steps in
@@ -581,7 +602,8 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
         # import-fine-tune ledger entry: fine-tuning degraded the
         # long-horizon metric while the transient eval improved)
         r0 = trainer.eval_mean_reward(ts.agent.actor, eval_steps,
-                                      warmup_steps=eval_warmup_steps)
+                                      warmup_steps=eval_warmup_steps,
+                                      score=eval_score)
         hook.evals.append((0, r0))
         best_eval = (r0, 0, 0, jax.tree.map(_np.asarray, ts.agent.actor))
     # Software pipeline: dispatch chunks n+1..n+depth BEFORE reading chunk
@@ -615,7 +637,8 @@ def train_batched(trainer: BatchedTrainer, total_steps: int, key=None,
             next_decay += noise_decay_every
         if next_eval is not None and steps_done >= next_eval:
             r_eval = trainer.eval_mean_reward(ts.agent.actor, eval_steps,
-                                              warmup_steps=eval_warmup_steps)
+                                              warmup_steps=eval_warmup_steps,
+                                              score=eval_score)
             hook.evals.append((steps_done, r_eval))
             if best_eval is None or r_eval > best_eval[0]:
                 # the eval already synchronized the host, so reading the

@@ -335,7 +335,8 @@ class PopulationTrainer:
 
     # ------------------------------------------------------------------ eval
     def eval_mean_rewards(self, actors, n_steps: int, key=None,
-                          warmup_steps: int = 0) -> np.ndarray:
+                          warmup_steps: int = 0,
+                          score: str = "mean") -> np.ndarray:
         """Deterministic per-member evaluation: every member's actor rolls
         the SAME freshly-drawn initial-condition batch (tiled member-major —
         fair comparison), long-horizon semantics inherited from
@@ -347,7 +348,11 @@ class PopulationTrainer:
         `warmup_steps > 0` = the OOD selection protocol (delayed actuation
         on developed states, batched.py eval_mean_reward docstring) — built
         because the Keller-Segel study measured 2/8 members whose OOD
-        failure is INVISIBLE to the warmup-0 eval (RESULTS.md r05 table)."""
+        failure is INVISIBLE to the warmup-0 eval (RESULTS.md r05 table).
+        `score="min"` = worst-case member scoring (min over each member's
+        per-env masked means instead of the pooled mean) — the further fix
+        after measuring that MEAN scoring dilutes a 1-in-32-IC catastrophic
+        failure to invisibility (RESULTS.md r05 OOD-selection A/B)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         B = self.n_envs_member_local
         cache_key = (n_steps, warmup_steps)
@@ -362,7 +367,13 @@ class PopulationTrainer:
         out = np.full((self.n_members,), np.nan, np.float64)
         for i in range(self.n_members):
             r, m = rs[:, i * B:(i + 1) * B], actives[:, i * B:(i + 1) * B]
-            if m.any():
+            if not m.any():
+                continue
+            if score == "min":
+                per_env = BatchedTrainer._env_scores(r, m)
+                if np.isfinite(per_env).any():
+                    out[i] = np.nanmin(per_env)
+            else:
                 out[i] = r[m].mean()
         return out
 
@@ -389,7 +400,7 @@ def train_population(trainer: PopulationTrainer, total_steps: int, key=None,
                      noise_decay=0.5, chunk_len: int = 50,
                      verbose: bool = False, eval_every: int = 0,
                      eval_steps: int = 50, eval_warmup_steps: int = 0,
-                     pipeline_depth: int = 4):
+                     eval_score: str = "mean", pipeline_depth: int = 4):
     """Chunked population training driver — train_batched semantics per
     member (same pipeline depth, same eval-driven best-actor selection),
     P members at once.
@@ -444,7 +455,8 @@ def train_population(trainer: PopulationTrainer, total_steps: int, key=None,
             next_decay += noise_decay_every
         if next_eval is not None and steps_done >= next_eval:
             rs = trainer.eval_mean_rewards(ts.agent.actor, eval_steps,
-                                           warmup_steps=eval_warmup_steps)
+                                           warmup_steps=eval_warmup_steps,
+                                           score=eval_score)
             ep_count = int(ts.ep_count)
             for i in range(P):
                 hooks[i].evals.append((steps_done, float(rs[i])))
@@ -487,7 +499,7 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
                       total_steps: int, *, members_per_round: int = 8,
                       space=None, seed: int = 0, noise_decay_every: int = 0,
                       eval_every: int = 50, eval_steps: int = 500,
-                      eval_warmup_steps: int = 0,
+                      eval_warmup_steps: int = 0, eval_score: str = "mean",
                       chunk_len: int = 50, random_init=None, y0_pool=None,
                       eval_y0_pool=None, verbose: bool = True, mesh=None):
     """Schedule/optimizer hyperparameter search where every round of up to
@@ -527,7 +539,7 @@ def population_search(env, agent, cfg: BatchedTrainerConfig, n_trials: int,
             noise_decay_every=noise_decay_every or max(1, total_steps // 8),
             noise_decay=[p["noise_decay"] for p in batch],
             chunk_len=chunk_len, eval_every=eval_every, eval_steps=eval_steps,
-            eval_warmup_steps=eval_warmup_steps)
+            eval_warmup_steps=eval_warmup_steps, eval_score=eval_score)
         for i, p in enumerate(batch):
             row = {"trial": done + i, "round": rnd,
                    "eval_reward": float(hooks[i].bestreward), **p}

@@ -426,3 +426,40 @@ def test_eval_y0_pool_is_held_out():
     r_held = t_held.eval_mean_reward(actor, 10, key=k)
     assert r_held == t_swap.eval_mean_reward(actor, 10, key=k)
     assert r_held != t_train.eval_mean_reward(actor, 10, key=k)
+
+
+def test_eval_min_score_is_worst_env():
+    """Worst-case eval scoring (r05): score='min' must equal the worst
+    single-IC eval — computed independently via B=1 trainers pinned to each
+    IC — and can only be <= the pooled mean."""
+    import jax.numpy as jnp
+
+    setup = build_ks(KS22)
+    gen = ks_random_init(KS22)
+    ics = [gen(jax.random.PRNGKey(100 + i)) for i in range(3)]
+    actor = setup.agent.init_state(jax.random.PRNGKey(5)).actor
+    # B=3 trainer whose eval pool is exactly the 3 ICs; key chosen so the
+    # uniform gather hits all three (asserted below via the B=1 reference)
+    singles = []
+    for ic in ics:
+        t1 = BatchedTrainer(setup.env, setup.agent,
+                            BatchedTrainerConfig(n_envs=1, batch_size=8,
+                                                 update_loops=0),
+                            y0_pool=jnp.asarray(ic)[None])
+        singles.append(t1.eval_mean_reward(actor, 12, key=jax.random.PRNGKey(0)))
+    t3 = BatchedTrainer(setup.env, setup.agent,
+                        BatchedTrainerConfig(n_envs=3, batch_size=8,
+                                             update_loops=0),
+                        y0_pool=jnp.stack([jnp.asarray(x) for x in ics]))
+    # find a key whose 3-wide gather covers all 3 pool rows
+    for k in range(50):
+        idx = np.asarray(jax.random.randint(jax.random.PRNGKey(k), (3,), 0, 3))
+        if len(set(idx.tolist())) == 3:
+            break
+    else:
+        raise AssertionError("no covering key found")
+    key = jax.random.PRNGKey(k)
+    r_min = t3.eval_mean_reward(actor, 12, key=key, score="min")
+    r_mean = t3.eval_mean_reward(actor, 12, key=key)
+    assert r_min <= r_mean + 1e-9
+    assert abs(r_min - min(singles)) < 1e-5, (r_min, singles)
