@@ -516,6 +516,12 @@ def main(argv=None):
                          "developed state; the warmup-0 eval measured "
                          "robust-looking Keller-Segel members that fail "
                          "exactly there, RESULTS.md r05 KS-S table)")
+    ap.add_argument("--eval-pool", type=int, default=32, metavar="N",
+                    help="--eval-warmup: how many held-out generator ICs the "
+                         "eval pool draws (default 32). Worst-case selection "
+                         "(--eval-score min) is bounded by the pool's "
+                         "failure-mode coverage — widen it for "
+                         "robustness-critical selection")
     ap.add_argument("--eval-score", choices=["mean", "min"], default="mean",
                     help="--batched/--population/--pop-search eval reduction: "
                          "'mean' = pooled mean step reward; 'min' = WORST-CASE "
@@ -777,11 +783,17 @@ def main(argv=None):
             pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
         # --eval-warmup = the full OOD selection protocol: delayed actuation
         # AND held-out generator ICs (a disjoint key stream), so the
-        # selection metric never scores on training-seen fields
+        # selection metric never scores on training-seen fields.
+        # --eval-pool widens the held-out draw: worst-case (--eval-score
+        # min) selection is only as good as the pool's failure-mode
+        # coverage — measured: one member's fragility trigger was absent
+        # from the 32-IC default while another's was present (RESULTS.md
+        # r05 selection-protocol table).
         eval_pool = None
         if args.eval_warmup and setup.random_init is not None:
             ekeys = jax.random.split(
-                jax.random.fold_in(jax.random.PRNGKey(setup.seed), 7777), 32)
+                jax.random.fold_in(jax.random.PRNGKey(setup.seed), 7777),
+                args.eval_pool)
             eval_pool = jnp.stack(
                 [jnp.asarray(setup.random_init(k)) for k in ekeys])
         pop_mesh = None
