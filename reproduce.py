@@ -67,6 +67,14 @@ def main():
     print(json.dumps({"row": "KS22_tp_lh (spectral-carry-tier-trained) stabilization",
                       **suppression(setup, actor_tpl, 200.0, 100.0)}))
 
+    # --- r05 spectral-featurize tier gate (trained with featurize/reward/
+    # guard consuming the carried half-spectrum — the bench.py tier with
+    # zero full-tier transforms; seed 23), evaluated on the STANDARD env —
+    # the gate that ships KSConfig.spectral_featurize in bench.py
+    setup, actor_sf = load_actor(lambda: C.build_ks(C.KS22), "artifacts/KS22_sf_lh")
+    print(json.dumps({"row": "KS22_sf_lh (spectral-featurize-tier-trained) stabilization",
+                      **suppression(setup, actor_sf, 200.0, 100.0)}))
+
     # --- r04 population-study artifacts: member 0 of the 8-member fused
     # lh-recipe study (artifacts/KS22_tp_pop8, full distribution in
     # RESULTS.md) and the 16-trial fused schedule-search winner
@@ -198,6 +206,19 @@ def main():
                      y0=y0, te=12.0, t_action=4.0)
     dev = np.abs(np.asarray(traces["y"])[:, 0] - 1.0)
     print(json.dumps({"row": "KellerSegel_popsearch_pop8 member 0 regulation",
+                      "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
+                      "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
+
+    # --- r05 OOD + worst-case selection (the same training run re-selected
+    # with --eval-warmup 667 --eval-score min; RESULTS.md selection-protocol
+    # table: failing members 2/8 -> 1/8, member 0 stays the record)
+    _, ks_actor_m = load_actor(
+        lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16_FAST),
+        "artifacts/KellerSegel_oodmin_pop8/member_00")
+    traces = rollout(ks_setup.env, actor_policy(ks_setup.agent, ks_actor_m),
+                     y0=y0, te=12.0, t_action=4.0)
+    dev = np.abs(np.asarray(traces["y"])[:, 0] - 1.0)
+    print(json.dumps({"row": "KellerSegel_oodmin_pop8 member 0 regulation",
                       "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
                       "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
 
