@@ -222,6 +222,21 @@ def main():
                       "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
                       "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
 
+    # --- r05 full-protocol population (trained end-to-end with the shipped
+    # selection protocol --eval-warmup 667 --eval-score min --eval-pool 128;
+    # a fresh rbg-keyed trajectory sample — 0/8 catastrophic members over
+    # 8 unseen generator seeds, member_00 ties the record. RESULTS.md
+    # oodpool table)
+    _, ks_actor_p = load_actor(
+        lambda: C.build_keller_segel(C.KELLER_SEGEL_10_16_FAST),
+        "artifacts/KellerSegel_oodpool_pop8/member_00")
+    traces = rollout(ks_setup.env, actor_policy(ks_setup.agent, ks_actor_p),
+                     y0=y0, te=12.0, t_action=4.0)
+    dev = np.abs(np.asarray(traces["y"])[:, 0] - 1.0)
+    print(json.dumps({"row": "KellerSegel_oodpool_pop8 member 0 regulation",
+                      "pre": round(float(dev[max(0, a0 - 100):a0].mean()), 4),
+                      "post": round(float(dev[-len(dev) // 10:].mean()), 4)}))
+
     # --- Keller-Segel PPO artifact (RESULTS.md PPO table: ~45% deviation
     # suppression on unseen seeds — between the original and fast DDPG rows)
     from distributedconvrl_pde_control_tpu.agents.ppo import (
