@@ -136,6 +136,25 @@ def build_setup(name: str, config_overrides=None):
     return build_fn(cfg)
 
 
+def held_out_eval_pool(setup, n: int):
+    """Held-out generator ICs for the OOD selection eval (`--eval-warmup`):
+    a key stream disjoint from the 32-key training pool (folded constant),
+    so the selection metric never scores on training-seen fields.
+
+    CONTRACT (pinned by tests/test_cli.py): widening `--eval-pool N` must
+    EXTEND the narrower pool, never reshuffle it — `jax.random.split`'s
+    prefix property guarantees pool(N)[:M] == pool(M). The measured
+    coverage result depends on it: the r05 residual member's fragility
+    trigger sits in ~2-3% of generator ICs and appeared only in the
+    96-IC extension of the default 32 (RESULTS.md coverage-diagnostic
+    table), which is an apples-to-apples statement only because the wider
+    pool contains the narrower one.
+    """
+    ekeys = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(setup.seed), 7777), n)
+    return jnp.stack([jnp.asarray(setup.random_init(k)) for k in ekeys])
+
+
 def run_sharded(args) -> None:
     """`--mesh DPxSP` path: the preset trains/evaluates across a
     ('dp', 'sp') device mesh (parallel.multichip), checkpointing in the
@@ -784,18 +803,9 @@ def main(argv=None):
         # --eval-warmup = the full OOD selection protocol: delayed actuation
         # AND held-out generator ICs (a disjoint key stream), so the
         # selection metric never scores on training-seen fields.
-        # --eval-pool widens the held-out draw: worst-case (--eval-score
-        # min) selection is only as good as the pool's failure-mode
-        # coverage — measured: one member's fragility trigger was absent
-        # from the 32-IC default while another's was present (RESULTS.md
-        # r05 selection-protocol table).
         eval_pool = None
         if args.eval_warmup and setup.random_init is not None:
-            ekeys = jax.random.split(
-                jax.random.fold_in(jax.random.PRNGKey(setup.seed), 7777),
-                args.eval_pool)
-            eval_pool = jnp.stack(
-                [jnp.asarray(setup.random_init(k)) for k in ekeys])
+            eval_pool = held_out_eval_pool(setup, args.eval_pool)
         pop_mesh = None
         if args.mesh and (args.population or args.pop_search):
             from distributedconvrl_pde_control_tpu.parallel.batched_dp import (

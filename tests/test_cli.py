@@ -297,3 +297,48 @@ def test_cli_population_train_then_eval_member(tmp_path):
     stats = json.loads(next(l for l in r.stdout.strip().splitlines()
                             if l.startswith("{")))
     assert stats["pre_control_mean_abs_dev"] > 0
+
+
+def test_held_out_eval_pool_extension_contract():
+    """`--eval-pool N` must EXTEND the narrower pool, never reshuffle it:
+    pool(N)[:M] == pool(M), and the held-out stream stays disjoint from the
+    training pool. The r05 coverage diagnostic (RESULTS.md: the residual
+    member's trigger appearing only in ICs 32-127) is only an
+    apples-to-apples statement because of this contract."""
+    import jax
+    import numpy as np
+
+    from distributedconvrl_pde_control_tpu.configs.keller_segel import (
+        KELLER_SEGEL_10_16_FAST,
+        build_keller_segel,
+    )
+    from distributedconvrl_pde_control_tpu.experiments.run import (
+        held_out_eval_pool,
+    )
+
+    setup = build_keller_segel(KELLER_SEGEL_10_16_FAST)
+    p8 = np.asarray(held_out_eval_pool(setup, 8))
+    p16 = np.asarray(held_out_eval_pool(setup, 16))
+    assert p8.shape[0] == 8 and p16.shape[0] == 16
+    assert np.array_equal(p16[:8], p8)
+    # held-out stream is disjoint from the training pool's key stream
+    tkeys = jax.random.split(jax.random.PRNGKey(setup.seed), 8)
+    train8 = np.stack([np.asarray(setup.random_init(k)) for k in tkeys])
+    assert not any(
+        np.array_equal(train8[i], p8[j]) for i in range(8) for j in range(8))
+
+
+def test_cli_population_eval_pool_flag(tmp_path):
+    """--eval-warmup + --eval-pool drive a population run end-to-end (the
+    full r05 OOD selection protocol at toy scale)."""
+    out = str(tmp_path / "pop")
+    r = run_cli("KS22", "--train", "--batched", "--cpu", "--population", "2",
+                "--total-steps", "40", "--chunk-len", "20", "--n-envs", "4",
+                "--learner-batch", "16", "--eval-every", "20",
+                "--eval-steps", "10", "--eval-warmup", "5",
+                "--eval-score", "min", "--eval-pool", "8", "--seed", "59",
+                "--out", out, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "population.json")))
+    assert summary["n_members"] == 2
+    assert all(len(row["evals"]) == 2 for row in summary["ranking"])
