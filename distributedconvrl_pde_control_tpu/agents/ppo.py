@@ -208,15 +208,21 @@ class PPOTrainer:
     """
 
     def __init__(self, env, agent: PPOAgent, n_envs: int,
-                 random_init: Optional[Callable] = None, y0_pool=None):
+                 random_init: Optional[Callable] = None, y0_pool=None,
+                 eval_y0_pool=None):
         """`random_init` must be jit-traceable; for host-only IC generators
         (the fluid random-vortex case) pass `y0_pool` instead — a (P, ...)
-        array sampled uniformly at every reset (as BatchedTrainer does)."""
+        array sampled uniformly at every reset (as BatchedTrainer does).
+        `eval_y0_pool` = HELD-OUT ICs for the deterministic selection eval
+        (same semantics as BatchedTrainer: without it a pool-based trainer
+        would score the eval on training-seen fields)."""
         self.env = env
         self.agent = agent
         self.n_envs = n_envs
         self.random_init = random_init
         self.y0_pool = None if y0_pool is None else jnp.asarray(y0_pool)
+        self.eval_y0_pool = (None if eval_y0_pool is None
+                             else jnp.asarray(eval_y0_pool))
 
     def _y0s(self, key):
         if self.y0_pool is not None:
@@ -226,6 +232,17 @@ class PPOTrainer:
             return jax.vmap(self.random_init)(jax.random.split(key, self.n_envs))
         y0 = jnp.asarray(self.env.y0)
         return jnp.broadcast_to(y0, (self.n_envs,) + y0.shape)
+
+    def _eval_y0s(self, key):
+        """Eval ICs: the held-out `eval_y0_pool` when provided, else the
+        training IC source (for jit-traceable generators the eval keys are
+        already disjoint from the training reset key chain) — mirrors
+        BatchedTrainer._fresh_eval_y0s."""
+        if self.eval_y0_pool is not None:
+            idx = jax.random.randint(key, (self.n_envs,), 0,
+                                     self.eval_y0_pool.shape[0])
+            return self.eval_y0_pool[idx]
+        return self._y0s(key)
 
     # ------------------------------------------------------------------ eval
     def eval_mean_reward(self, params, n_steps: int, key=None,
@@ -251,7 +268,7 @@ class PPOTrainer:
             self._eval_fns[cache_key] = run
         import numpy as np
 
-        rs, actives = run(params, self._y0s(key))
+        rs, actives = run(params, self._eval_y0s(key))
         rs, actives = np.asarray(rs), np.asarray(actives)
         return float(rs[actives].mean()) if actives.any() else float("nan")
 

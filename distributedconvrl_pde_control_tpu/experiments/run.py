@@ -326,13 +326,19 @@ def run_dp_batched(args):
     if setup.random_init is not None:
         keys = jax.random.split(jax.random.PRNGKey(setup.seed), 32)
         pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+    # --eval-warmup on the dp mesh uses the same held-out IC stream as the
+    # single-host path (without this the eval would gather from y0_pool —
+    # training-seen fields, defeating the OOD selection protocol)
+    eval_pool = None
+    if args.eval_warmup and setup.random_init is not None:
+        eval_pool = held_out_eval_pool(setup, args.eval_pool)
     trainer = DPBatchedTrainer(
         setup.env, setup.agent,
         BatchedTrainerConfig(n_envs=n_envs,
                              batch_size=args.learner_batch or 256,
                              update_loops=args.update_loops,
                              min_best_episode=setup.min_best_episode),
-        dp_mesh(n_dp), y0_pool=pool,
+        dp_mesh(n_dp), y0_pool=pool, eval_y0_pool=eval_pool,
     )
     ts, hook, means = train_batched(
         trainer, total_steps=args.total_steps,
@@ -696,15 +702,20 @@ def main(argv=None):
         pagent = PPOAgent(pcfg)
         if args.train:
             # fluid ICs are host-generated -> pool; KS random_init is traceable
-            pool = random_init = None
+            pool = random_init = eval_pool = None
             if setup.random_init is not None:
                 if args.preset.startswith("Fluid"):
                     keys = jax.random.split(jax.random.PRNGKey(setup.seed), 16)
                     pool = jnp.stack([jnp.asarray(setup.random_init(k)) for k in keys])
+                    # held-out eval ICs for --eval-warmup selection (without
+                    # this a pool-based PPO eval scores training-seen fields)
+                    if args.eval_warmup:
+                        eval_pool = held_out_eval_pool(setup, args.eval_pool)
                 else:
                     random_init = setup.random_init
             trainer = PPOTrainer(setup.env, pagent, n_envs=args.n_envs or 8,
-                                 random_init=random_init, y0_pool=pool)
+                                 random_init=random_init, y0_pool=pool,
+                                 eval_y0_pool=eval_pool)
             pstate, info = train_ppo(
                 trainer, iters=args.iters,
                 key=jax.random.PRNGKey(args.seed if args.seed is not None else setup.seed),

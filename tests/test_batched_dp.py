@@ -145,3 +145,28 @@ def test_dp_trainer_with_spectral_carry():
     assert np.isfinite(recs).all()
     assert recs[0].sum() >= 8  # every env auto-reset at least once
     assert np.isfinite(np.asarray(ts.env_states.carry[0])).all()
+
+
+def test_dp_eval_y0_pool_is_held_out():
+    """The dp-sharded trainer's eval must honor `eval_y0_pool` exactly like
+    the single-host trainer (r05: the CLI passes the held-out OOD pool on
+    the mesh path too — without it --mesh --eval-warmup would score
+    training-seen fields)."""
+    setup = build_ks(KS22)
+    gen = ks_random_init(KS22)
+    train_pool = jnp.stack([gen(jax.random.PRNGKey(i)) for i in range(4)])
+    eval_pool = jnp.stack([gen(jax.random.PRNGKey(100 + i)) for i in range(4)])
+    cfg = BatchedTrainerConfig(n_envs=4, batch_size=8, update_loops=0)
+    actor = setup.agent.init_state(jax.random.PRNGKey(5)).actor
+
+    mesh = dp_mesh(2)
+    t_held = DPBatchedTrainer(setup.env, setup.agent, cfg, mesh,
+                              y0_pool=train_pool, eval_y0_pool=eval_pool)
+    t_swap = DPBatchedTrainer(setup.env, setup.agent, cfg, mesh,
+                              y0_pool=eval_pool)
+    t_train = DPBatchedTrainer(setup.env, setup.agent, cfg, mesh,
+                               y0_pool=train_pool)
+    k = jax.random.PRNGKey(2)
+    r_held = t_held.eval_mean_reward(actor, 10, key=k)
+    assert r_held == t_swap.eval_mean_reward(actor, 10, key=k)
+    assert r_held != t_train.eval_mean_reward(actor, 10, key=k)

@@ -301,3 +301,27 @@ def test_ppo_eval_warmup_matches_delayed_actuation_rollout():
     act = np.asarray(tr["active"])[K:]
     r_ref = float(rs[act].mean())
     assert np.isfinite(r_eval) and abs(r_eval - r_ref) < 1e-5, (r_eval, r_ref)
+
+
+def test_ppo_eval_y0_pool_is_held_out():
+    """PPO analogue of BatchedTrainer's held-out eval pool (r05): with
+    `eval_y0_pool` set the deterministic eval scores those ICs — equal to a
+    pool-swapped trainer's eval, different from the training-pool eval.
+    Without it a pool-based (fluid-style) PPO trainer would select on
+    training-seen fields."""
+    setup = build_ks(KS22)
+    gen = ks_random_init(KS22)
+    train_pool = jnp.stack([gen(jax.random.PRNGKey(i)) for i in range(4)])
+    eval_pool = jnp.stack([gen(jax.random.PRNGKey(100 + i)) for i in range(4)])
+    pcfg = PPOConfig(ns=setup.agent.cfg.ns, na=setup.agent.cfg.na_rows)
+    pagent = PPOAgent(pcfg)
+    params = pagent._params(pagent.init_state(jax.random.PRNGKey(5)))
+
+    t_held = PPOTrainer(setup.env, pagent, n_envs=4, y0_pool=train_pool,
+                        eval_y0_pool=eval_pool)
+    t_swap = PPOTrainer(setup.env, pagent, n_envs=4, y0_pool=eval_pool)
+    t_train = PPOTrainer(setup.env, pagent, n_envs=4, y0_pool=train_pool)
+    k = jax.random.PRNGKey(2)
+    r_held = t_held.eval_mean_reward(params, 10, key=k)
+    assert r_held == t_swap.eval_mean_reward(params, 10, key=k)
+    assert r_held != t_train.eval_mean_reward(params, 10, key=k)
