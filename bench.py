@@ -40,8 +40,12 @@ N_ENVS = 16384
 CHUNK = 50
 TIMED_ROUNDS = 5
 # 50x the solver-only reference-loop rate measured by baseline_proxy.py
-# (1,592 env steps/s on this host's CPU — max of repeated runs; full loop
+# (1,592 env steps/s — max of repeated runs on the round-3 host; full loop
 # with learning: 189/s). Re-pin when the host changes (BASELINE.md).
+# r05 host check: the round-5 single-core host measures 1,385/s idle
+# (dropping to ~900-990/s under concurrent load), so keeping the HIGHER
+# r03 pin keeps vs_baseline conservative and historical captures
+# comparable.
 BASELINE_STEPS_PER_SEC = 50.0 * 1592.0
 
 
